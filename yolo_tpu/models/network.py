@@ -1,0 +1,296 @@
+"""cfg -> IR -> single jitted apply function.
+
+The reference walks an nn.ModuleList per forward (models.py:508-561). Here
+``make_apply`` closes over the NetworkIR and emits one pure function; tracing
+unrolls the graph so XLA sees the entire detector as a single program and can
+fuse conv+bn+activation chains, tile convs onto the MXU, and schedule the
+whole thing without Python in the loop.
+
+Params pytree:  {layer_index(str): {field: array}}   (trainable)
+State pytree:   {layer_index(str): {'mean','var'}}   (BN running stats)
+
+Conv kernels are HWIO, activations NHWC, compute bf16/accumulate f32.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ir as ir_mod
+from ..ops import activations as act_mod
+from ..ops import conv as conv_ops
+from .yolo_head import decode_yolo, reshape_pred
+
+# BN hyper-params: per-conv BN (torch default eps, momentum=0.1,
+# reference models.py:100) vs standalone BatchNorm2d blocks
+# (momentum=0.03, eps=1e-4, reference models.py:201).
+CONV_BN_EPS, CONV_BN_MOM = 1e-5, 0.1
+LONE_BN_EPS, LONE_BN_MOM = 1e-4, 0.03
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_params(rng, net: ir_mod.NetworkIR):
+    """Initialise (params, state) pytrees with torch-equivalent defaults,
+    including smart bias init for YOLO-preceding convs (models.py:325-335)."""
+    params: dict[str, dict] = {}
+    state: dict[str, dict] = {}
+    keys = jax.random.split(rng, max(len(net.layers), 1) * 3).reshape(
+        len(net.layers), 3, -1)
+
+    for lyr in net.layers:
+        k = str(lyr.index)
+        kw, kb, _ = keys[lyr.index]
+        if lyr.kind in ('conv', 'depthwise'):
+            in_per_group = lyr.in_channels // lyr.groups
+            fan_in = in_per_group * lyr.size * lyr.size
+            p = {'w': _kaiming_uniform(kw, (lyr.size, lyr.size, in_per_group,
+                                            lyr.filters), fan_in)}
+            if lyr.bn:
+                p['gamma'] = jnp.ones(lyr.filters, jnp.float32)
+                p['beta'] = jnp.zeros(lyr.filters, jnp.float32)
+                state[k] = {'mean': jnp.zeros(lyr.filters, jnp.float32),
+                            'var': jnp.ones(lyr.filters, jnp.float32)}
+            else:
+                p['b'] = _kaiming_uniform(kb, (lyr.filters,), fan_in)
+            params[k] = p
+        elif lyr.kind == 'batchnorm':
+            c = lyr.filters
+            params[k] = {'gamma': jnp.ones(c, jnp.float32),
+                         'beta': jnp.zeros(c, jnp.float32)}
+            if lyr.index == 0 and c == 3:
+                # imagenet input normaliser (reference models.py:202-205)
+                state[k] = {'mean': jnp.array([0.485, 0.456, 0.406], jnp.float32),
+                            'var': jnp.array([0.0524, 0.0502, 0.0506], jnp.float32)}
+            else:
+                state[k] = {'mean': jnp.zeros(c, jnp.float32),
+                            'var': jnp.ones(c, jnp.float32)}
+        elif lyr.kind == 'se':
+            c, r = lyr.filters, lyr.reduction
+            params[k] = {
+                'fc1': _kaiming_uniform(kw, (c // r, c), c),
+                'fc2': _kaiming_uniform(kb, (c, c // r), c // r),
+            }
+        elif lyr.kind == 'shortcut' and lyr.weighted:
+            params[k] = {'w': jnp.zeros(len(lyr.layers) + 1, jnp.float32)}
+
+    # smart bias init for YOLO-preceding convs
+    for lyr in net.layers:
+        if lyr.kind in ('conv',) and lyr.smart_bias and 'b' in params[str(lyr.index)]:
+            # find the yolo layer that follows to get na/nc
+            for y in net.layers[lyr.index + 1:]:
+                if y.kind == 'yolo':
+                    na, no, nc = y.na, y.no, y.nc
+                    b = params[str(lyr.index)]['b']
+                    if b.shape[0] >= na * no:
+                        head = np.asarray(b[:na * no]).reshape(na, no).copy()
+                        head[:, 4] -= 4.5
+                        head[:, 5:] += math.log(0.6 / (nc - 0.99))
+                        b = b.at[:na * no].set(jnp.asarray(head.reshape(-1)))
+                        params[str(lyr.index)]['b'] = b
+                    break
+    return params, state
+
+
+def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
+               maxabsscaler: bool = False, fused: bool = False) -> Callable:
+    """Build the network apply function.
+
+    apply(params, state, x, train=False) ->
+      train: ((yolo_p list, feature_out list), new_state)
+      eval:  (io (bs, total, no), yolo_p list, feature_out list)
+
+    ``fused`` skips BN (params must be pre-folded via fuse_params).
+    """
+    layers = net.layers
+
+    def apply(params, state, x, train: bool = False):
+        outs: dict[int, Any] = {}
+        yolo_p = []
+        feature_out = []
+        new_state = {}
+        prev = x
+
+        for lyr in layers:
+            k = str(lyr.index)
+            if lyr.kind in ('conv', 'depthwise'):
+                p = params[k]
+                y = conv_ops.conv2d(prev, p['w'],
+                                    stride=lyr.stride_xy or lyr.stride,
+                                    padding=lyr.pad, groups=lyr.groups,
+                                    compute_dtype=compute_dtype)
+                if lyr.bn and not fused:
+                    if train:
+                        y, m, v = conv_ops.batch_norm_train(
+                            y, p['gamma'], p['beta'], state[k]['mean'],
+                            state[k]['var'], CONV_BN_EPS, CONV_BN_MOM)
+                        new_state[k] = {'mean': m, 'var': v}
+                    else:
+                        y = conv_ops.batch_norm_infer(
+                            y, p['gamma'], p['beta'], state[k]['mean'],
+                            state[k]['var'], CONV_BN_EPS)
+                elif 'b' in p:
+                    y = y + p['b']
+                y = act_mod.get(lyr.activation, maxabsscaler)(y)
+                prev = y
+
+            elif lyr.kind == 'batchnorm':
+                p = params[k]
+                if train:
+                    y, m, v = conv_ops.batch_norm_train(
+                        prev, p['gamma'], p['beta'], state[k]['mean'],
+                        state[k]['var'], LONE_BN_EPS, LONE_BN_MOM)
+                    new_state[k] = {'mean': m, 'var': v}
+                else:
+                    y = conv_ops.batch_norm_infer(
+                        prev, p['gamma'], p['beta'], state[k]['mean'],
+                        state[k]['var'], LONE_BN_EPS)
+                prev = y
+
+            elif lyr.kind == 'maxpool':
+                prev = conv_ops.max_pool(prev, lyr.size, lyr.stride)
+
+            elif lyr.kind == 'se':
+                p = params[k]
+                prev = conv_ops.se_block(prev, p['fc1'], p['fc2'])
+
+            elif lyr.kind == 'upsample':
+                prev = conv_ops.upsample_nearest(prev, lyr.stride)
+
+            elif lyr.kind == 'route':
+                if len(lyr.layers) > 1:
+                    prev = jnp.concatenate([outs[j] for j in lyr.layers], axis=-1)
+                elif lyr.route_groups:
+                    # half-channel split of the incoming tensor
+                    # (reference utils/layers.py:36-38, yolov4-tiny)
+                    c = prev.shape[-1]
+                    prev = prev[..., c // 2:]
+                else:
+                    prev = outs[lyr.layers[0]]
+
+            elif lyr.kind == 'shortcut':
+                x_ = prev
+                if lyr.weighted:
+                    w = jax.nn.sigmoid(params[k]['w']) * (2.0 / (len(lyr.layers) + 1))
+                    x_ = x_ * w[0]
+                nx_ = x_.shape[-1]
+                for idx, j in enumerate(lyr.layers):
+                    a = outs[j]
+                    if lyr.weighted:
+                        a = a * w[idx + 1]
+                    na_ = a.shape[-1]
+                    if nx_ == na_:
+                        x_ = x_ + a
+                    elif nx_ > na_:  # add into leading channels (layers.py:67-68)
+                        x_ = jnp.concatenate([x_[..., :na_] + a, x_[..., na_:]], -1)
+                    else:            # slice the feature (layers.py:69-70)
+                        x_ = x_ + a[..., :nx_]
+                prev = x_
+
+            elif lyr.kind in ('reorg3d', 'dropout'):
+                pass  # reorg3d is a reference no-op; dropout is inference-identity
+
+            elif lyr.kind == 'yolo':
+                p_raw = reshape_pred(prev, lyr.na, lyr.no)
+                yolo_p.append(p_raw)
+                # prev intentionally unchanged (models.py:534-535)
+
+            if lyr.is_routed:
+                outs[lyr.index] = prev
+            if lyr.feature_out:
+                feature_out.append(prev)
+
+        if train:
+            return (yolo_p, feature_out), new_state
+
+        ios = []
+        yi = 0
+        for lyr in layers:
+            if lyr.kind == 'yolo':
+                ios.append(decode_yolo(yolo_p[yi], lyr.anchors, lyr.yolo_stride))
+                yi += 1
+        io = jnp.concatenate(ios, axis=1)
+        return io, yolo_p, feature_out
+
+    return apply
+
+
+def fuse_params(net: ir_mod.NetworkIR, params, state):
+    """Fold BN into conv weights for inference (Darknet.fuse,
+    models.py:563-577). Returns a fused params pytree for make_apply(fused=True)."""
+    fused = {k: dict(v) for k, v in params.items()}
+    for lyr in net.layers:
+        k = str(lyr.index)
+        if lyr.kind in ('conv', 'depthwise') and lyr.bn and k in state:
+            p = fused[k]
+            w, b = conv_ops.fuse_conv_bn(
+                p['w'], p.get('b'), p['gamma'], p['beta'],
+                state[k]['mean'], state[k]['var'], CONV_BN_EPS)
+            fused[k] = {'w': w, 'b': b}
+    return fused
+
+
+@dataclass
+class Network:
+    """Convenience bundle: IR + params/state + jitted apply fns.
+
+    Mirrors the role of the reference Darknet module (models.py:440-581)
+    without being a stateful interpreter.
+    """
+    net: ir_mod.NetworkIR
+    params: Any
+    state: Any
+    compute_dtype: Any = jnp.bfloat16
+    maxabsscaler: bool = False
+    _apply: Callable = dc_field(init=False, repr=False, default=None)
+
+    @classmethod
+    def from_cfg(cls, cfg, img_size=416, rng=None, is_gray_scale=False,
+                 compute_dtype=jnp.bfloat16, maxabsscaler=False):
+        del img_size  # shapes are resolved per-call; kept for API parity
+        net = ir_mod.build_ir(cfg, is_gray_scale=is_gray_scale)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        params, state = init_params(rng, net)
+        obj = cls(net=net, params=params, state=state,
+                  compute_dtype=compute_dtype, maxabsscaler=maxabsscaler)
+        return obj
+
+    def __post_init__(self):
+        self._apply = make_apply(self.net, compute_dtype=self.compute_dtype,
+                                 maxabsscaler=self.maxabsscaler)
+
+    @property
+    def apply(self):
+        return self._apply
+
+    def __call__(self, x, train=False):
+        return self._apply(self.params, self.state, x, train=train)
+
+    @property
+    def yolo_layers(self):
+        return self.net.yolo_layers
+
+    @property
+    def nc(self):
+        return self.net.nc
+
+    def anchor_vecs(self):
+        """Per-YOLO-layer anchors divided by stride (grid units)."""
+        return [np.asarray(l.anchors) / l.yolo_stride
+                for l in self.net.layers if l.kind == 'yolo']
+
+    def num_params(self) -> int:
+        return sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(self.params)) + \
+               sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(self.state))

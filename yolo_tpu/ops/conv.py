@@ -1,0 +1,126 @@
+"""Core spatial ops lowered for TPU: conv, batch-norm, pooling, upsample, SE.
+
+Layout contract: activations NHWC, kernels HWIO. Convolutions run on the MXU
+in bfloat16 with float32 accumulation (``preferred_element_type``); everything
+element-wise rides the VPU and is fused by XLA into the conv epilogue.
+
+Reference semantics: models.py:92-113 (conv+bn+act), :176-197 (depthwise),
+:199-222 (standalone BN / SE), :207-215 (maxpool incl. tiny zero-pad case),
+:224-225 (nearest upsample), utils/layers.py:176-192 (SE block).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DIMNUMS = ('NHWC', 'HWIO', 'NHWC')
+
+
+def conv2d(x, w, *, stride=1, padding: int = 0, groups: int = 1,
+           compute_dtype=jnp.bfloat16):
+    """Grouped 2-D convolution. ``w`` is HWIO with I = in_channels // groups.
+
+    MXU path: inputs cast to ``compute_dtype`` (bf16 by default), accumulation
+    forced to float32 via preferred_element_type. ``stride`` may be an int or
+    an (sy, sx) pair.
+    """
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    strides = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=strides,
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=DIMNUMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)
+
+
+def batch_norm_infer(x, gamma, beta, mean, var, eps: float = 1e-5):
+    """Inference-mode BN (running statistics)."""
+    scale = gamma * lax.rsqrt(var + eps)
+    return x * scale + (beta - mean * scale)
+
+
+def batch_norm_train(x, gamma, beta, running_mean, running_var,
+                     eps: float = 1e-5, momentum: float = 0.1):
+    """Training-mode BN over NHWC (reduce N,H,W).
+
+    Returns (y, new_running_mean, new_running_var). Matches torch semantics:
+    normalisation uses the biased batch variance, the running-var update uses
+    the unbiased one; running = (1-m)*running + m*batch.
+    """
+    axes = (0, 1, 2)
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased
+    y = (x - mean) * lax.rsqrt(var + eps) * gamma + beta
+    unbiased = var * (n / max(n - 1, 1))
+    new_mean = (1.0 - momentum) * running_mean + momentum * mean
+    new_var = (1.0 - momentum) * running_var + momentum * unbiased
+    return y, new_mean, new_var
+
+
+def max_pool(x, size: int, stride: int):
+    """Darknet maxpool.
+
+    General case: torch MaxPool2d(k, s, padding=(k-1)//2) — -inf padding.
+    Tiny case k=2, s=1: explicit (0,1,0,1) ZERO pad then 2x2/1 pool
+    (reference models.py:211-213).
+    """
+    if size == 2 and stride == 1:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        pad = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    else:
+        p = (size - 1) // 2
+        pad = [(0, 0), (p, p), (p, p), (0, 0)]
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pad,
+    )
+
+
+def upsample_nearest(x, scale: int):
+    """Nearest-neighbour upsample by integer factor (reference models.py:224-225)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def se_block(x, fc1_w, fc2_w):
+    """Squeeze-and-Excitation (reference utils/layers.py:176-192).
+
+    fc weights kept in torch Linear layout (out_features, in_features) for
+    bit-compatible darknet serialisation (reference models.py:720-732).
+    Gate is HardSigmoid.
+    """
+    y = jnp.mean(x, axis=(1, 2))                       # (b, c) squeeze
+    y = jax.nn.relu(y @ fc1_w.T)                       # (b, c//r)
+    y = y @ fc2_w.T                                    # (b, c)
+    y = jnp.clip(y + 3.0, 0.0, 6.0) / 6.0              # hard sigmoid
+    return x * y[:, None, None, :]
+
+
+def fuse_conv_bn(w, b, gamma, beta, mean, var, eps: float = 1e-5):
+    """Fold BN into conv weights/bias for inference
+    (reference utils/torch_utils.py:65-89, Darknet.fuse models.py:563-577).
+
+    w: HWIO. Returns (w_fused, b_fused).
+    """
+    scale = gamma / jnp.sqrt(var + eps)                # (O,)
+    w_f = w * scale[None, None, None, :]
+    if b is None:
+        b = jnp.zeros_like(mean)
+    b_f = (b - mean) * scale + beta
+    return w_f, b_f
