@@ -1,0 +1,114 @@
+"""Jitted train step + TrainState (functional core of the trainer).
+
+Reference hot loop: train.py:342-477. Differences by design:
+- the whole step (forward, loss, backward, BN-gamma sparsity, optimizer,
+  EMA) is ONE jitted XLA program with donated buffers;
+- gradient accumulation splits into compute_grads / apply_updates programs
+  (reference train.py:450-459 steps every ``accumulate`` batches);
+- DP gradient reduction is emitted by XLA from the batch sharding — there is
+  no DDP wrapper (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ir import NetworkIR
+from ..models.network import make_apply
+from .ema import EMAState, ema_init, ema_update
+from .loss import LossHyp, compute_loss
+from .optim import (AdamState, PerGroupScalars, SGDState, adam_init,
+                    adam_update, label_tree, sgd_init, sgd_update)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    ema: EMAState | None
+    grad_accum: Any         # accumulated grads pytree (zeros between bursts)
+    accum_count: jnp.ndarray
+
+
+def init_train_state(params, bn_state, *, optimizer: str = 'sgd',
+                     use_ema: bool = True) -> TrainState:
+    opt_init = sgd_init if optimizer == 'sgd' else adam_init
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(params=params, bn_state=bn_state,
+                      opt_state=opt_init(params),
+                      ema=ema_init(params, bn_state) if use_ema else None,
+                      grad_accum=zeros,
+                      accum_count=jnp.zeros((), jnp.int32))
+
+
+def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
+                         *, optimizer: str = 'sgd',
+                         compute_dtype=jnp.bfloat16,
+                         sparsity_s: float = 0.0,
+                         sparse_gamma_layers: tuple[int, ...] = (),
+                         kd_loss_fn: Callable | None = None,
+                         remat: bool = False):
+    """Build (grad_fn, update_fn) jittables.
+
+    grad_fn(state, imgs, targets, valid, gr, loss_scale [, t_args])
+        -> (state', loss_items)   accumulates grads + updates BN stats
+    update_fn(state, scalars) -> state'   applies optimizer + EMA, resets accum
+
+    ``sparse_gamma_layers`` + ``sparsity_s`` add the L1 subgradient
+    s*sign(gamma) to BN-gamma grads (BNOptimizer.updateBN,
+    utils/prune_utils.py:130-138) for sparse training before pruning.
+    ``kd_loss_fn(yolo_p, feats, targets, valid, imgs) -> scalar`` lets the
+    caller add a distillation term (train.py:389-435).
+    """
+    apply = make_apply(net, compute_dtype=compute_dtype)
+    if remat:
+        apply = jax.checkpoint(apply, static_argnums=(3,))
+    labels = None  # built lazily from the first state
+
+    def loss_fn(params, bn_state, imgs, targets, valid, gr):
+        (yolo_p, feats), new_bn = apply(params, bn_state, imgs, True)
+        loss, items = compute_loss(yolo_p, targets, valid, anchor_vecs, nc,
+                                   hyp, gr)
+        if kd_loss_fn is not None:
+            loss = loss + kd_loss_fn(yolo_p, feats, targets, valid, imgs)
+        return loss, (items, new_bn)
+
+    @jax.jit
+    def grad_fn(state: TrainState, imgs, targets, valid, gr, loss_scale):
+        def scaled(params):
+            loss, aux = loss_fn(params, state.bn_state, imgs, targets, valid, gr)
+            return loss * loss_scale, aux  # loss *= bs/64 (train.py:437)
+
+        grads, (items, new_bn) = jax.grad(scaled, has_aux=True)(state.params)
+
+        if sparsity_s > 0 and sparse_gamma_layers:
+            for li in sparse_gamma_layers:
+                k = str(li)
+                if 'gamma' in grads.get(k, {}):
+                    grads[k]['gamma'] = grads[k]['gamma'] + \
+                        sparsity_s * jnp.sign(state.params[k]['gamma'])
+
+        acc = jax.tree_util.tree_map(jnp.add, state.grad_accum, grads)
+        return state._replace(bn_state=new_bn, grad_accum=acc,
+                              accum_count=state.accum_count + 1), items
+
+    opt_update = sgd_update if optimizer == 'sgd' else adam_update
+
+    @jax.jit
+    def update_fn(state: TrainState, scalars: PerGroupScalars):
+        lbl = label_tree(state.params)
+        new_params, new_opt = opt_update(state.params, state.grad_accum,
+                                         state.opt_state, lbl, scalars)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_update(ema, new_params, state.bn_state)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.grad_accum)
+        return state._replace(params=new_params, opt_state=new_opt, ema=ema,
+                              grad_accum=zeros,
+                              accum_count=jnp.zeros((), jnp.int32))
+
+    return grad_fn, update_fn
