@@ -1,0 +1,134 @@
+"""Data pipeline tests on a synthetic on-disk dataset."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from yolo_tpu.data import (BatchLoader, DetectionDataset, LoadImages,
+                           augment_hsv, letterbox, random_affine)
+
+
+@pytest.fixture(scope='module')
+def synth_ds(tmp_path_factory):
+    """6 images with one labelled box each, reference dir-layout
+    (images/ + labels/ + list txt)."""
+    root = tmp_path_factory.mktemp('ds')
+    (root / 'images').mkdir()
+    (root / 'labels').mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        h, w = rng.choice([240, 320, 480]), rng.choice([320, 480, 640])
+        img = np.full((h, w, 3), 60, np.uint8)
+        cx, cy, bw, bh = 0.5, 0.5, 0.4, 0.3
+        x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+        x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), -1)
+        p = root / 'images' / f'im{i}.jpg'
+        cv2.imwrite(str(p), img)
+        (root / 'labels' / f'im{i}.txt').write_text(
+            f'{i % 2} {cx} {cy} {bw} {bh}\n')
+        paths.append(str(p))
+    lst = root / 'train.txt'
+    lst.write_text('\n'.join(paths))
+    return str(lst)
+
+
+def test_letterbox_shapes():
+    img = np.zeros((240, 320, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, 416, auto=False)
+    assert out.shape == (416, 416, 3)
+    assert ratio[0] == ratio[1] == 416 / 320
+    # auto=True minimum-rectangle keeps 32-alignment (416 - 64k)
+    out2, _, _ = letterbox(img, 416, auto=True)
+    assert out2.shape[0] % 32 == 0 and out2.shape[0] <= 416
+
+
+def test_letterbox_no_scaleup():
+    img = np.zeros((100, 100, 3), np.uint8)
+    out, ratio, _ = letterbox(img, 416, auto=False, scaleup=False)
+    assert ratio[0] == 1.0
+    assert out.shape == (416, 416, 3)
+
+
+def test_random_affine_identity_keeps_boxes():
+    img = np.zeros((200, 200, 3), np.uint8)
+    t = np.array([[0, 50, 50, 150, 150]], np.float32)
+    img2, t2 = random_affine(img, t, degrees=0, translate=0, scale=0, shear=0)
+    assert img2.shape == img.shape
+    np.testing.assert_allclose(t2[:, 1:], t[:, 1:], atol=1.0)
+
+
+def test_augment_hsv_preserves_dtype_shape():
+    img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    out = augment_hsv(img.copy(), 0.01, 0.5, 0.5)
+    assert out.dtype == np.uint8 and out.shape == img.shape
+
+
+def test_dataset_basic(synth_ds):
+    ds = DetectionDataset(synth_ds, img_size=128, batch_size=4)
+    assert len(ds) == 6
+    assert ds.stats['found'] == 6
+    img, labels, path, shapes = ds[0]
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert labels.shape == (1, 5)
+    assert 0 <= labels[0, 1] <= 1
+
+
+def test_dataset_label_roundtrip(synth_ds):
+    """Letterboxed + renormalised labels must land on the red box."""
+    ds = DetectionDataset(synth_ds, img_size=128, batch_size=4)
+    img, labels, _, _ = ds[0]
+    h, w = img.shape[:2]
+    cx, cy = labels[0, 1] * w, labels[0, 2] * h
+    # the pixel at the box centre should be red (RGB order after loader)
+    assert img[int(cy), int(cx), 0] > 150, img[int(cy), int(cx)]
+
+
+def test_dataset_mosaic(synth_ds):
+    hyp = dict(degrees=0, translate=0, scale=0, shear=0, hsv_h=0, hsv_s=0,
+               hsv_v=0)
+    ds = DetectionDataset(synth_ds, img_size=128, batch_size=4, augment=True,
+                          hyp=hyp, seed=0)
+    assert ds.mosaic
+    img, labels, _, _ = ds[0]
+    assert img.shape[:2] == (128, 128)  # mosaic + border crop back to s
+    assert labels.shape[1] == 5
+
+
+def test_rect_batching(synth_ds):
+    ds = DetectionDataset(synth_ds, img_size=128, batch_size=2, rect=True)
+    assert hasattr(ds, 'batch_shapes')
+    assert (ds.batch_shapes % 32 == 0).all()
+    img, _, _, _ = ds[0]
+    assert img.shape[0] % 32 == 0 and img.shape[1] % 32 == 0
+
+
+def test_batch_loader(synth_ds):
+    ds = DetectionDataset(synth_ds, img_size=128, batch_size=4)
+    loader = BatchLoader(ds, batch_size=4, max_targets=16)
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, tgt, valid, paths, shapes = batches[0]
+    assert imgs.shape == (4, 128, 128, 3)
+    assert tgt.shape == (16, 6) and valid.shape == (16,)
+    assert valid.sum() == 4  # one label per image
+    # image indices in targets match batch positions
+    assert set(tgt[valid][:, 0].astype(int)) == {0, 1, 2, 3}
+
+
+def test_subset_len(synth_ds):
+    ds = DetectionDataset(synth_ds, img_size=128, subset_len=3, seed=1)
+    assert len(ds) == 3
+
+
+def test_load_images_dir(synth_ds):
+    d = os.path.join(os.path.dirname(synth_ds), 'images')
+    src = LoadImages(d, img_size=128)
+    items = list(src)
+    assert len(items) == 6
+    path, img, img0, cap = items[0]
+    assert img.shape[0] == 3  # CHW
+    assert img0.ndim == 3

@@ -1,0 +1,67 @@
+"""AP/matching metric tests (reference utils/utils.py:162-251, test.py:157-181)."""
+
+import numpy as np
+
+from yolo_tpu.eval.metrics import (ap_per_class, coco80_to_coco91_class,
+                                   compute_ap, fitness, match_predictions)
+
+
+def test_compute_ap_perfect():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 1.0])
+    assert compute_ap(recall, precision) > 0.99
+
+
+def test_compute_ap_zero():
+    assert compute_ap(np.array([0.0]), np.array([0.0])) < 0.02
+
+
+def test_ap_per_class_perfect_detector():
+    # 4 predictions, all correct, 2 classes
+    tp = np.ones((4, 1), bool)
+    conf = np.array([0.9, 0.8, 0.7, 0.6])
+    pred_cls = np.array([0, 0, 1, 1])
+    target_cls = np.array([0, 0, 1, 1])
+    p, r, ap, f1, uc = ap_per_class(tp, conf, pred_cls, target_cls)
+    assert (ap > 0.99).all()
+    assert list(uc) == [0, 1]
+
+
+def test_ap_per_class_false_positives():
+    tp = np.array([[True], [False], [True], [False]])
+    conf = np.array([0.9, 0.85, 0.7, 0.6])
+    pred_cls = np.zeros(4)
+    target_cls = np.zeros(2)
+    p, r, ap, f1, uc = ap_per_class(tp, conf, pred_cls, target_cls)
+    assert 0.4 < ap[0, 0] < 1.0
+
+
+def test_match_predictions_greedy():
+    iouv = np.array([0.5])
+    # two preds on one target: only best-iou one is credited
+    pred = np.array([
+        [0, 0, 10, 10, 0.9, 0],
+        [1, 1, 11, 11, 0.8, 0],
+    ], np.float64)
+    tboxes = np.array([[0, 0, 10, 10]], np.float64)
+    correct = match_predictions(pred, np.array([0.0]), tboxes, iouv)
+    assert correct.sum() == 1 and correct[0, 0]
+
+
+def test_match_predictions_class_mismatch():
+    iouv = np.array([0.5])
+    pred = np.array([[0, 0, 10, 10, 0.9, 1]], np.float64)
+    tboxes = np.array([[0, 0, 10, 10]], np.float64)
+    correct = match_predictions(pred, np.array([0.0]), tboxes, iouv)
+    assert correct.sum() == 0
+
+
+def test_fitness_weights_map_only():
+    x = np.array([[0.1, 0.2, 0.7, 0.3]])
+    assert fitness(x)[0] == 0.7
+
+
+def test_coco91_mapping():
+    m = coco80_to_coco91_class()
+    assert len(m) == 80
+    assert m[0] == 1 and m[-1] == 90 and 12 not in m and 91 not in m

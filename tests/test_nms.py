@@ -1,0 +1,98 @@
+"""Batched NMS behavior tests (vs reference utils/utils.py:782-860 contract)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yolo_tpu.ops.nms import non_max_suppression, to_host_detections
+
+
+def _pred(rows, nc=3, n_pad=32):
+    """rows: list of (x, y, w, h, obj, cls_idx, cls_conf)."""
+    out = np.zeros((n_pad, 5 + nc), np.float32)
+    for i, (x, y, w, h, obj, ci, cc) in enumerate(rows):
+        out[i, :4] = [x, y, w, h]
+        out[i, 4] = obj
+        out[i, 5 + ci] = cc
+    return out[None]  # bs=1
+
+
+def test_nms_suppresses_overlaps():
+    pred = _pred([
+        (100, 100, 50, 50, 0.9, 0, 0.9),   # keep (highest score)
+        (102, 102, 50, 50, 0.8, 0, 0.9),   # suppressed (same class, high IoU)
+        (300, 300, 40, 40, 0.7, 1, 0.8),   # keep (different location)
+    ])
+    out = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, merge=False))
+    d = out[0]
+    assert d is not None and len(d) == 2
+    assert set(d[:, 5].astype(int)) == {0, 1}
+
+
+def test_nms_class_offset_keeps_cross_class():
+    """Same box, two classes -> both survive (class-offset batched NMS)."""
+    pred = _pred([
+        (100, 100, 50, 50, 0.9, 0, 0.9),
+        (100, 100, 50, 50, 0.8, 1, 0.9),
+    ])
+    out = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, merge=False))
+    assert len(out[0]) == 2
+
+
+def test_nms_conf_threshold_and_wh_constraints():
+    pred = _pred([
+        (100, 100, 50, 50, 0.05, 0, 0.9),     # below obj conf
+        (200, 200, 1, 1, 0.9, 0, 0.9),        # wh too small (< 2px)
+        (300, 300, 5000, 50, 0.9, 0, 0.9),    # wh too large (> 4096)
+        (400, 400, 30, 30, 0.9, 0, 0.9),      # keep
+    ])
+    out = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5))
+    assert len(out[0]) == 1
+    np.testing.assert_allclose(out[0][0, :4], [385, 385, 415, 415], atol=1e-3)
+
+
+def test_nms_merge_weighted_fusion():
+    """merge-NMS averages overlapping boxes weighted by score
+    (reference utils/utils.py:846-853)."""
+    pred = _pred([
+        (100, 100, 50, 50, 0.9, 0, 1.0),
+        (104, 104, 50, 50, 0.9, 0, 0.8),
+    ])
+    out_merge = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, merge=True))
+    out_plain = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, merge=False))
+    assert len(out_merge[0]) == 1 and len(out_plain[0]) == 1
+    # merged box must sit between the two raw boxes
+    assert out_plain[0][0, 0] < out_merge[0][0, 0] < out_plain[0][0, 0] + 4
+
+
+def test_nms_multilabel():
+    pred = _pred([(100, 100, 40, 40, 0.9, 0, 0.0)], nc=3)
+    pred[0, 0, 5:] = [0.9, 0.8, 0.05]  # two classes above threshold
+    out = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, multi_label=True,
+        merge=False))
+    assert len(out[0]) == 2
+    out1 = to_host_detections(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5, multi_label=False,
+        merge=False))
+    assert len(out1[0]) == 1
+
+
+def test_nms_batch_independent():
+    p1 = _pred([(100, 100, 50, 50, 0.9, 0, 0.9)])
+    p2 = _pred([(50, 50, 30, 30, 0.8, 1, 0.9)])
+    batch = np.concatenate([p1, p2], axis=0)
+    out = to_host_detections(non_max_suppression(
+        jnp.asarray(batch), conf_thres=0.1, iou_thres=0.5))
+    assert len(out) == 2
+    assert int(out[0][0, 5]) == 0 and int(out[1][0, 5]) == 1
+
+
+def test_nms_empty():
+    pred = np.zeros((1, 16, 8), np.float32)
+    out = to_host_detections(non_max_suppression(jnp.asarray(pred)))
+    assert out[0] is None

@@ -1,0 +1,180 @@
+"""mAP evaluator (reference test.py:10-253) on the jitted inference pipeline.
+
+Device side: fused forward + decode + batched NMS per batch shape (cached
+jit). Host side: per-image greedy matching + AP accumulation in numpy.
+Printout contract matches the reference ('Class Images Targets P R mAP F1').
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_classes, parse_data_cfg
+from ..data.datasets import BatchLoader, DetectionDataset
+from ..models.network import make_apply
+from ..ops.nms import non_max_suppression, to_host_detections
+from .metrics import (ap_per_class, coco80_to_coco91_class, fitness,
+                      match_predictions)
+
+
+def _xywh2xyxy_np(x):
+    y = np.copy(x)
+    y[..., 0] = x[..., 0] - x[..., 2] / 2
+    y[..., 1] = x[..., 1] - x[..., 3] / 2
+    y[..., 2] = x[..., 0] + x[..., 2] / 2
+    y[..., 3] = x[..., 1] + x[..., 3] / 2
+    return y
+
+
+def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
+             conf_thres=0.001, iou_thres=0.6, multi_label=True,
+             compute_dtype=jnp.bfloat16, fused=False, single_cls=False,
+             is_gray_scale=False, save_json=False, verbose=False,
+             max_det=300, top_k=512, iouv=(0.5,), dataset=None,
+             maxabsscaler=False, loader=None, progress=True):
+    """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
+
+    ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
+    state={} are accepted via fused=True).
+    """
+    data_dict = parse_data_cfg(data)
+    nc = 1 if single_cls else int(data_dict['classes'])
+    names = load_classes(data_dict['names'])
+    path = data_dict['valid']
+    iouv = np.asarray(iouv, np.float64)
+    niou = len(iouv)
+
+    apply = make_apply(net, compute_dtype=compute_dtype, fused=fused)
+
+    @jax.jit
+    def infer(params, state, x):
+        io, _, _ = apply(params, state, x, train=False)
+        return non_max_suppression(io, conf_thres=conf_thres,
+                                   iou_thres=iou_thres, top_k=top_k,
+                                   max_det=max_det, multi_label=multi_label)
+
+    if loader is None:
+        if dataset is None:
+            dataset = DetectionDataset(path, img_size, batch_size, rect=True,
+                                       is_gray_scale=is_gray_scale)
+        loader = BatchLoader(dataset, batch_size)
+
+    seen = 0
+    stats = []
+    jdict = []
+    coco91 = coco80_to_coco91_class()
+    t_inf = t_nms = 0.0
+
+    print(('%20s' + '%10s' * 6) % ('Class', 'Images', 'Targets', 'P', 'R',
+                                   'mAP@0.5', 'F1'))
+    for imgs, tgt, valid, paths, shapes in loader:
+        h, w = imgs.shape[1:3]
+        x = jnp.asarray(imgs, jnp.float32) / 256.0
+        if maxabsscaler:
+            x = x * 2.0 - 1.0
+        t0 = time.perf_counter()
+        dets = infer(params, state, x)
+        dets.block_until_ready()
+        t_inf += time.perf_counter() - t0
+        det_list = to_host_detections(dets)
+
+        tgt = np.asarray(tgt)[np.asarray(valid)]
+        for si in range(len(paths)):
+            if not paths[si]:
+                continue  # ragged-batch padding
+            labels = tgt[tgt[:, 0] == si, 1:]
+            nl = len(labels)
+            tcls = labels[:, 0].tolist() if nl else []
+            seen += 1
+            pred = det_list[si]
+            if pred is None:
+                if nl:
+                    stats.append((np.zeros((0, niou), bool), np.zeros(0),
+                                  np.zeros(0), tcls))
+                continue
+            pred = pred.copy()
+            pred[:, [0, 2]] = pred[:, [0, 2]].clip(0, w)
+            pred[:, [1, 3]] = pred[:, [1, 3]].clip(0, h)
+
+            if save_json and shapes[si] is not None:
+                (h0, w0), ((rh, rw), pad) = shapes[si]
+                image_id = Path(paths[si]).stem.split('_')[-1]
+                try:
+                    image_id = int(image_id)
+                except ValueError:
+                    pass
+                box = pred[:, :4].copy()
+                box[:, [0, 2]] = (box[:, [0, 2]] - pad[0]) / rw
+                box[:, [1, 3]] = (box[:, [1, 3]] - pad[1]) / rh
+                box[:, 2:4] -= box[:, 0:2]  # xyxy -> xywh top-left
+                for pr, b in zip(pred.tolist(), box.tolist()):
+                    jdict.append({'image_id': image_id,
+                                  'category_id': coco91[int(pr[5])]
+                                  if nc == 80 else int(pr[5]),
+                                  'bbox': [round(v, 3) for v in b],
+                                  'score': round(pr[4], 5)})
+
+            correct = np.zeros((len(pred), niou), bool)
+            if nl:
+                tbox = _xywh2xyxy_np(labels[:, 1:5]) * [w, h, w, h]
+                correct = match_predictions(pred, labels[:, 0], tbox, iouv)
+            stats.append((correct, pred[:, 4], pred[:, 5], tcls))
+
+    mp = mr = map50 = mf1 = 0.0
+    maps = np.zeros(nc)
+    ap_class = []
+    if stats:
+        cat = [np.concatenate([np.atleast_1d(np.asarray(s[i])) for s in stats], 0)
+               if stats else np.zeros(0) for i in range(3)]
+        tcls_all = np.concatenate([np.asarray(s[3]) for s in stats]) \
+            if any(len(s[3]) for s in stats) else np.zeros(0)
+        if len(cat[0]):
+            p, r, ap, f1, ap_class = ap_per_class(cat[0], cat[1], cat[2], tcls_all)
+            if niou > 1:
+                p, r, ap, f1 = p[:, 0], r[:, 0], ap.mean(1), ap[:, 0]
+            else:
+                p, r, ap, f1 = p[:, 0], r[:, 0], ap[:, 0], f1[:, 0]
+            mp, mr, map50, mf1 = p.mean(), r.mean(), ap.mean(), f1.mean()
+            for i, c in enumerate(ap_class):
+                maps[c] = ap[i]
+
+    nt = int(sum(len(s[3]) for s in stats))
+    pf = '%20s' + '%10.3g' * 6
+    print(pf % ('all', seen, nt, mp, mr, map50, mf1))
+    if verbose and nc > 1 and len(ap_class):
+        for i, c in enumerate(ap_class):
+            n_c = int(sum(1 for s in stats for t in s[3] if t == c))
+            print(pf % (names[c], seen, n_c, p[i], r[i], ap[i], f1[i]))
+
+    if save_json and jdict:
+        with open('results.json', 'w') as f:
+            json.dump(jdict, f)
+        try:
+            from pycocotools.coco import COCO            # optional
+            from pycocotools.cocoeval import COCOeval
+            # official COCO eval path (reference test.py:228-247)
+            ann = glob_coco_annotations(data_dict)
+            if ann:
+                cocoGt = COCO(ann)
+                cocoDt = cocoGt.loadRes('results.json')
+                ev = COCOeval(cocoGt, cocoDt, 'bbox')
+                ev.evaluate(); ev.accumulate(); ev.summarize()
+                map50 = ev.stats[1]
+        except ImportError:
+            pass
+
+    return (mp, mr, map50, mf1, 0.0, 0.0, 0.0), maps, (t_inf, t_nms)
+
+
+def glob_coco_annotations(data_dict):
+    import glob as _g
+    hits = _g.glob('**/instances_val*.json', recursive=True)
+    return hits[0] if hits else None
