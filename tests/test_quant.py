@@ -1,0 +1,196 @@
+"""Quantization subsystem tests: quantizer math, BN-fold QAT, TPSQ, cos-PTQ."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_tpu.compress import quant as Q
+from yolo_tpu.ir import build_ir
+from yolo_tpu.models.network import init_params, make_apply
+
+from tests.test_trainer import TOY_CFG  # reuse the 3-conv toy network
+
+
+@pytest.fixture(scope='module')
+def toy(tmp_path_factory):
+    p = tmp_path_factory.mktemp('qcfg') / 'toy.cfg'
+    p.write_text(TOY_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    rng = np.random.RandomState(0)
+    for k in state:
+        n = state[k]['mean'].shape[0]
+        state[k] = {'mean': jnp.asarray(rng.randn(n).astype(np.float32) * 0.05),
+                    'var': jnp.asarray(rng.uniform(0.8, 1.2, n).astype(np.float32))}
+    return net, params, state
+
+
+def test_round_half_away():
+    x = jnp.array([0.5, -0.5, 1.4, -1.4, 2.5, -2.5])
+    np.testing.assert_array_equal(np.asarray(Q.round_half_away(x)),
+                                  [1, -1, 1, -1, 3, -3])
+
+
+def test_pow2_snap():
+    # tie at 3.0 resolves to floor (reference uses strict '<',
+    # quantized_google.py:189-193)
+    got = np.asarray(Q.pow2_snap(jnp.array([1.0, 1.4, 1.6, 3.0, 0.3])))
+    np.testing.assert_allclose(got, [1.0, 1.0, 2.0, 2.0, 0.25])
+
+
+def test_fake_quant_grid():
+    """fq output lies on the scale grid and is a no-op at 32 bits."""
+    x = jnp.linspace(-2, 2, 101)
+    y = np.asarray(Q.fq(x, 2.0 ** -4, 0.0, 8))
+    q = y / 2.0 ** -4
+    np.testing.assert_allclose(q, np.round(q), atol=1e-5)
+    assert np.abs(y - np.asarray(x)).max() <= 2.0 ** -5 + 1e-6
+
+
+def test_fake_quant_ste_gradient():
+    g = jax.grad(lambda x: jnp.sum(Q.fq(x, 0.1, 0.0, 8)))(jnp.ones(4))
+    np.testing.assert_allclose(np.asarray(g), 1.0)  # straight-through
+
+
+def test_symmetric_scale_pow2():
+    qs = Q.tracker_init()
+    x = jnp.asarray(np.random.RandomState(0).randn(1000) * 3)
+    _, qs = Q.google_quantize(x, qs, bits=8, train=True, freeze_step=10)
+    scale = float(qs['scale'])
+    assert math_is_pow2(scale * 128)
+
+
+def math_is_pow2(v):
+    import math
+    l = math.log2(v)
+    return abs(l - round(l)) < 1e-6
+
+
+def test_scale_freeze():
+    qs = Q.tracker_init()
+    x1 = jnp.ones(10) * 4
+    _, qs = Q.google_quantize(x1, qs, bits=8, train=True, freeze_step=1)
+    s1 = float(qs['scale'])
+    # second update beyond freeze step: scale must not move
+    _, qs = Q.google_quantize(x1 * 100, qs, bits=8, train=True, freeze_step=1)
+    assert float(qs['scale']) == s1
+
+
+def test_global_vs_ema_tracker():
+    qs = Q.tracker_init()
+    qs = Q._update_range(qs, jnp.array([-1.0, 2.0]), 'global')
+    qs = Q._update_range(qs, jnp.array([-3.0, 1.0]), 'global')
+    assert float(qs['min']) == -3.0 and float(qs['max']) == 2.0
+    qe = Q.tracker_init()
+    qe = Q._update_range(qe, jnp.array([0.0, 1.0]), 'ema')
+    qe = Q._update_range(qe, jnp.array([0.0, 2.0]), 'ema')
+    assert abs(float(qe['max']) - 1.1) < 1e-6  # 0.9*1 + 0.1*2
+
+
+def test_tpsq_search_pow2_grad():
+    v, g = jax.value_and_grad(lambda s: Q.search_pow2(s))(jnp.asarray(1.4))
+    assert float(v) == 1.0
+    np.testing.assert_allclose(float(g), 1.0 / 1.4, rtol=1e-5)
+
+
+def test_tpsq_quantize_trains_scale():
+    x = jnp.asarray(np.random.RandomState(1).randn(256) * 2)
+
+    def loss(s):
+        return jnp.mean((Q.tpsq_quantize(x, s, 8) - x) ** 2)
+
+    s = jnp.asarray(4.0)
+    g = jax.grad(loss)(s)
+    assert np.isfinite(float(g))
+
+
+def test_cospt_picks_reasonable_scale():
+    qs = Q.cospt_init(8)
+    x = jnp.asarray(np.random.RandomState(2).randn(4096).astype(np.float32))
+    y, qs = Q.cospt_quantize(x, qs, bits=8, train=True)
+    # |x| <= ~4 => float_range should be small power of two (2 or 4)
+    scale = float(qs['scale']) * 128
+    assert scale in (2.0, 4.0, 8.0), scale
+    err = np.abs(np.asarray(y) - np.asarray(x)).mean()
+    assert err < 0.02
+
+
+def test_cospt_votes_accumulate():
+    qs = Q.cospt_init(8)
+    x = jnp.asarray(np.random.RandomState(3).randn(512).astype(np.float32))
+    for _ in range(3):
+        _, qs = Q.cospt_quantize(x, qs, bits=8, train=True)
+    assert float(qs['votes'].sum()) == 3
+
+
+@pytest.mark.parametrize('scheme', ['google', 'tpsq', 'ptq_cos'])
+def test_quant_apply_runs(toy, scheme):
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme=scheme, a_bits=8, w_bits=8, steps=100)
+    qstate, extra = Q.init_quant_state(net, cfg)
+    p = {k: dict(v) for k, v in params.items()}
+    for k, v in extra.items():
+        p[k] = {**p[k], **v}
+    apply = Q.make_quant_apply(net, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 0.3 + 0.5
+    (yolo_p, feats), new_state, new_q = apply(p, state, qstate, x, train=True)
+    assert yolo_p[0].shape == (2, 3, 16, 16, 7)
+    io, _, _ = apply(p, new_state, new_q, x, train=False)
+    assert np.isfinite(np.asarray(io)).all()
+
+
+def test_google_qat_matches_float_at_32bits(toy):
+    """32-bit 'quantization' must reproduce the float BN-fold network."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=32, w_bits=32, steps=10)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    apply_q = Q.make_quant_apply(net, cfg)
+    apply_f = make_apply(net, compute_dtype=None)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.2
+    io_q, _, _ = apply_q(params, state, qstate, x, train=False)
+    io_f, _, _ = apply_f(params, state, x, train=False)
+    np.testing.assert_allclose(np.asarray(io_q), np.asarray(io_f),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_google_qat_8bit_close_to_float(toy):
+    """After calibration forwards, 8-bit fake-quant inference stays close to
+    float (pow-2 scales, small toy net)."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    apply_q = Q.make_quant_apply(net, cfg)
+    apply_f = make_apply(net, compute_dtype=None)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3
+    st, qs = state, qstate
+    for _ in range(3):   # calibration
+        _, st, qs = apply_q(params, st, qs, x, train=True)
+    io_q, _, _ = apply_q(params, state, qs, x, train=False)
+    io_f, _, _ = apply_f(params, state, x, train=False)
+    # objectness probabilities should agree within a few percent
+    diff = np.abs(np.asarray(io_q[..., 4]) - np.asarray(io_f[..., 4]))
+    assert diff.mean() < 0.05, diff.mean()
+
+
+def test_qat_gradients_flow(toy):
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    apply_q = Q.make_quant_apply(net, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3)) * 0.3
+
+    def loss(p):
+        (yolo_p, _), _, _ = apply_q(p, state, qstate, x, train=True)
+        return sum(jnp.sum(jnp.square(o)) for o in yolo_p)
+
+    g = jax.grad(loss)(params)
+    gn = sum(float(jnp.abs(v).sum()) for d in g.values() for v in d.values())
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_quantize_input_16bit():
+    x = jnp.asarray([0.123456789, -0.5, 0.9999])
+    y = np.asarray(Q.quantize_input_16bit(x))
+    np.testing.assert_allclose(y * (1 << 14), np.round(y * (1 << 14)), atol=1e-4)
+    np.testing.assert_allclose(y, np.asarray(x), atol=2 ** -14)

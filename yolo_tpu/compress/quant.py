@@ -1,0 +1,587 @@
+"""Quantization subsystem: pow-2 fake-quant QAT / TPSQ / cos-PTQ as pure
+functional transforms.
+
+Reference: utils/quantized/quantized_google.py, quantized_TPSQ.py,
+quantized_ptq_cos.py (~5k LoC of stateful nn.Modules) re-designed as:
+
+- quantizer *state* lives in an explicit ``qstate`` pytree (scale, zero
+  point, range-tracker min/max, vote counters, step counters);
+- fake-quant is a straight-through-estimator pure function
+  (x + stop_grad(dq(x) - x));
+- the per-layer candidate scan of the cos-similarity PTQ search is
+  vectorised over all ``bits + 7`` power-of-2 scales at once (one batched
+  matmul-free reduction instead of a Python loop per layer);
+- everything is static-shape and jit-compatible; when scales freeze the
+  whole network becomes a constant-folded quantize-dequantize graph that XLA
+  fuses into the convs.
+
+Schemes (selected by ``--quantized`` in the reference, models.py:34-90):
+  1 'google'  — Google-style QAT, BN folded during training
+                (BNFold_QuantizedConv2d_For_FPGA, quantized_google.py:235-836)
+  2 'tpsq'    — Trainable Pow-2 Scale Quantization: scales are parameters
+                projected through Search_Pow2 with a custom gradient
+                (quantized_TPSQ.py:29-64)
+  3 'ptq_cos' — post-training cosine-similarity pow-2 scale search
+                (quantized_ptq_cos.py:64-130)
+
+All quantized scales snap to powers of two (FPGA shift-friendly).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ir import NetworkIR
+from ..models.yolo_head import decode_yolo, reshape_pred
+from ..ops import activations as act_mod
+from ..ops import conv as conv_ops
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.01     # quantized-conv BN momentum (quantized_google.py:247)
+EMA_MOMENTUM = 0.1     # activation range tracker momentum
+
+
+# --------------------------------------------------------------------------
+# primitive quantizer math
+# --------------------------------------------------------------------------
+
+def round_half_away(x):
+    """sign(x) * floor(|x| + 0.5) — the reference STE Round
+    (quantized_google.py:81-92), NOT banker's rounding."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def pow2_snap(x):
+    """Snap to the nearest power of two by linear distance
+    (quantized_google.py:176-219 floor/ceil selection)."""
+    x = jnp.maximum(x, 1e-38)
+    lg = jnp.log2(x)
+    lo = jnp.exp2(jnp.floor(lg))
+    hi = jnp.exp2(jnp.ceil(lg))
+    return jnp.where(jnp.abs(hi - x) < jnp.abs(lo - x), hi, lo)
+
+
+def qrange(bits: int, sign: bool = True):
+    if sign:
+        return -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    return 0, (1 << bits) - 1
+
+
+def fq(x, scale, zero_point, bits: int, sign: bool = True):
+    """Fake quantize with STE (quantize, round, clamp, dequantize)."""
+    qmin, qmax = qrange(bits, sign)
+    q = round_half_away(x / scale + zero_point)
+    q = jnp.clip(q, qmin, qmax)
+    dq = (q - zero_point) * scale
+    return x + jax.lax.stop_gradient(dq - x)
+
+
+def quantize_int(x, scale, zero_point, bits: int, sign: bool = True):
+    """Integer values (for export / FPGA dump, get_quantize_value)."""
+    qmin, qmax = qrange(bits, sign)
+    return jnp.clip(round_half_away(x / scale + zero_point), qmin, qmax)
+
+
+# --------------------------------------------------------------------------
+# tracker-based quantizer (google scheme)
+# --------------------------------------------------------------------------
+
+def tracker_init():
+    return {'min': jnp.zeros(()), 'max': jnp.zeros(()),
+            'first': jnp.zeros(()), 'scale': jnp.ones(()),
+            'zp': jnp.zeros(()), 'step': jnp.zeros(())}
+
+
+def _update_range(qs, x, track: str):
+    mn, mx = jnp.min(x), jnp.max(x)
+    if track == 'ema':     # AveragedRangeTracker (quantized_google.py:58-77)
+        new_min = jnp.where(qs['first'] == 0, mn,
+                            qs['min'] * (1 - EMA_MOMENTUM) + mn * EMA_MOMENTUM)
+        new_max = jnp.where(qs['first'] == 0, mx,
+                            qs['max'] * (1 - EMA_MOMENTUM) + mx * EMA_MOMENTUM)
+    else:                  # GlobalRangeTracker min/max (quantized_google.py:35-55)
+        new_min = jnp.where(qs['first'] == 0, mn, jnp.minimum(qs['min'], mn))
+        new_max = jnp.where(qs['first'] == 0, mx, jnp.maximum(qs['max'], mx))
+    return {**qs, 'min': new_min, 'max': new_max,
+            'first': jnp.ones_like(qs['first'])}
+
+
+def _update_scale(qs, bits: int, sym: bool, sign: bool):
+    qmin, qmax = qrange(bits, sign)
+    quantized_range = max(abs(qmin), abs(qmax)) if sym else (qmax - qmin)
+    if sym:
+        float_max = jnp.maximum(jnp.abs(qs['min']), jnp.abs(qs['max']))
+        float_range = pow2_snap(float_max)
+        scale = float_range / quantized_range
+        zp = jnp.zeros(())
+    else:
+        float_range = pow2_snap(qs['max'] - qs['min'])
+        scale = float_range / quantized_range
+        zp = round_half_away(qmax - qs['max'] / scale)
+    return {**qs, 'scale': scale, 'zp': zp}
+
+
+def google_quantize(x, qs, *, bits: int, train: bool, freeze_step: float,
+                    sym: bool = True, sign: bool = True, track: str = 'ema'):
+    """One tracker-quantizer application (Quantizer.forward,
+    quantized_google.py:141-156). Returns (y, qs')."""
+    if bits == 32:
+        return x, qs
+    if train:
+        do_update = qs['step'] < freeze_step
+        updated = _update_scale(_update_range(qs, jax.lax.stop_gradient(x),
+                                              track), bits, sym, sign)
+        qs = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(do_update, new, old), updated, qs)
+        qs = {**qs, 'step': qs['step'] + 1}
+    y = fq(x, qs['scale'], qs['zp'], bits, sign)
+    return y, qs
+
+
+# --------------------------------------------------------------------------
+# TPSQ trainable pow-2 scale (quantized_TPSQ.py:29-128)
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def search_pow2(s):
+    s = jnp.clip(s, 2.0 ** -5, 2.0 ** 13)
+    return pow2_snap(s)
+
+
+def _sp2_fwd(s):
+    out = pow2_snap(jnp.clip(s, 2.0 ** -5, 2.0 ** 13))
+    return out, (s, out)
+
+
+def _sp2_bwd(res, g):
+    s, out = res
+    return (g * out / jnp.where(s == 0, 1.0, s),)
+
+
+search_pow2.defvjp(_sp2_fwd, _sp2_bwd)
+
+
+def tpsq_quantize(x, scale_param, bits: int):
+    """TPSQ fake-quant: soft-clamp to ±p2(scale), scale to the integer grid
+    with (2^(b-1)-1)/p2 and back with p2/2^(b-1) (quantized_TPSQ.py:78-118,
+    asymmetric quantize/dequantize ranges preserved)."""
+    p2 = search_pow2(scale_param)
+    clamped = 0.5 * (jnp.abs(x + p2) - jnp.abs(x - p2))
+    qr_q = (1 << (bits - 1)) - 1
+    qr_dq = 1 << (bits - 1)
+    scaled = clamped * qr_q / p2
+    q = scaled + jax.lax.stop_gradient(round_half_away(scaled) - scaled)
+    return q * p2 / qr_dq
+
+
+# --------------------------------------------------------------------------
+# cos-similarity PTQ scale search (quantized_ptq_cos.py:30-110)
+# --------------------------------------------------------------------------
+
+def cospt_init(bits: int):
+    return {'votes': jnp.zeros(bits + 7), 'scale': jnp.ones(()),
+            'step': jnp.zeros(())}
+
+
+def cospt_quantize(x, qs, *, bits: int, train: bool):
+    """Vectorised cos-sim scale search. Candidate float ranges are
+    2^(i-5), i in [0, bits+7); the per-batch winner gets a vote and the
+    全局 argmax of votes selects the working scale (scale_list logic,
+    quantized_ptq_cos.py:72-88)."""
+    if bits == 32:
+        return x, qs
+    qmin, qmax = qrange(bits, True)
+    qr = max(abs(qmin), abs(qmax))
+    if train:
+        flat = jax.lax.stop_gradient(x).reshape(-1)
+        exps = jnp.arange(bits + 7, dtype=jnp.float32) - 5.0
+        scales = jnp.exp2(exps) / qr                           # (C,)
+        q = round_half_away(flat[None, :] / scales[:, None])
+        q = jnp.clip(q, qmin, qmax)
+        dq = q * scales[:, None]
+        xn = flat / jnp.maximum(jnp.linalg.norm(flat), 1e-12)
+        dqn = dq / jnp.maximum(
+            jnp.linalg.norm(dq, axis=1, keepdims=True), 1e-12)
+        cos = dqn @ xn                                          # (C,)
+        winner = jnp.argmax(cos)
+        votes = qs['votes'].at[winner].add(1.0)
+        global_win = jnp.argmax(votes)
+        scale = jnp.exp2(global_win.astype(jnp.float32) - 5.0) / qr
+        qs = {**qs, 'votes': votes, 'scale': scale,
+              'step': qs['step'] + 1}
+    y = fq(x, qs['scale'], jnp.zeros(()), bits, True)
+    return y, qs
+
+
+# --------------------------------------------------------------------------
+# quantized network lowering
+# --------------------------------------------------------------------------
+
+class QuantConfig(NamedTuple):
+    scheme: str = 'google'        # google | tpsq | ptq_cos
+    a_bits: int = 8
+    w_bits: int = 8
+    shortcut_way: int = 1          # 1 = min-range, 2 = max-range requant
+    maxabsscaler: bool = False
+    steps: int = 0                 # total train steps (freeze schedule)
+
+    @property
+    def bn_freeze_step(self) -> int:
+        return int(self.steps * 0.9)
+
+    @property
+    def scale_freeze_step(self) -> int:
+        return int(self.steps * 0.1)
+
+
+def init_quant_state(net: NetworkIR, cfg: QuantConfig):
+    """Build the qstate pytree, and (for TPSQ) the extra trainable scale
+    params to merge into the params tree."""
+    qstate: dict[str, Any] = {}
+    extra_params: dict[str, Any] = {}
+    for lyr in net.layers:
+        k = str(lyr.index)
+        if lyr.kind in ('conv', 'depthwise'):
+            if cfg.scheme in ('google',):
+                qstate[k] = {'aq': tracker_init(), 'wq': tracker_init(),
+                             'bq': tracker_init(),
+                             'first_bn': jnp.zeros(()),
+                             'step': jnp.zeros(())}
+            elif cfg.scheme == 'tpsq':
+                qstate[k] = {'first_bn': jnp.zeros(()), 'step': jnp.zeros(())}
+                extra_params[k] = {'a_scale': jnp.ones(()),
+                                   'w_scale': jnp.ones(()),
+                                   'b_scale': jnp.ones(())}
+            else:  # ptq_cos
+                qstate[k] = {'aq': cospt_init(cfg.a_bits),
+                             'wq': cospt_init(cfg.w_bits),
+                             'bq': cospt_init(cfg.w_bits),
+                             'first_bn': jnp.zeros(()),
+                             'step': jnp.zeros(())}
+        elif lyr.kind == 'shortcut' and cfg.scheme != 'tpsq':
+            qstate[k] = {'x': tracker_init(), 'a': tracker_init(),
+                         'sum': tracker_init(),
+                         'scale': jnp.ones(()), 'input_scale': jnp.ones(())}
+        elif lyr.kind == 'route' and len(lyr.layers) > 1 and cfg.scheme != 'tpsq':
+            qstate[k] = {'float_max': jnp.zeros(len(lyr.layers)),
+                         'scale': jnp.ones(())}
+    return qstate, extra_params
+
+
+def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
+    """Two-phase BN fold (quantized_google.py:320-390): batch statistics
+    before BN_freeze_step, running after; running stats EMA momentum 0.01
+    with first-batch copy. Returns (w_fold_scale, bias_fold, new_st, new_qs).
+    """
+    gamma, beta = p['gamma'], p['beta']
+    bias0 = p.get('b', jnp.zeros_like(beta)) if has_bias else None
+    if train:
+        axes = (0, 1, 2)
+        n = out_f.shape[0] * out_f.shape[1] * out_f.shape[2]
+        batch_mean = jnp.mean(out_f, axis=axes)
+        bv = jnp.var(out_f, axis=axes) * n / max(n - 1, 1)   # unbiased
+        first = qs['first_bn'] == 0
+        new_mean = jnp.where(first, batch_mean,
+                             st['mean'] * (1 - BN_MOMENTUM) + batch_mean * BN_MOMENTUM)
+        new_var = jnp.where(first, bv,
+                            st['var'] * (1 - BN_MOMENTUM) + bv * BN_MOMENTUM)
+        use_batch = qs['step'] < cfg.bn_freeze_step
+        mean_sel = jnp.where(use_batch, batch_mean, new_mean)
+        var_sel = jnp.where(use_batch, bv, new_var)
+        new_st = {'mean': jax.lax.stop_gradient(new_mean),
+                  'var': jax.lax.stop_gradient(new_var)}
+        new_qs = {**qs, 'first_bn': jnp.ones_like(qs['first_bn'])}
+    else:
+        mean_sel, var_sel = st['mean'], st['var']
+        new_st, new_qs = st, qs
+    inv = gamma / jnp.sqrt(var_sel + BN_EPS)
+    if bias0 is not None:
+        bias = beta + (bias0 - mean_sel) * inv
+    else:
+        bias = beta - mean_sel * inv
+    return inv, bias, new_st, new_qs
+
+
+def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
+                     compute_dtype=None):
+    """Build the quantized apply:
+
+    apply(params, state, qstate, x, train=False) ->
+      train: ((yolo_p, feature_out), new_state, new_qstate)
+      eval:  (io, yolo_p, feature_out)
+
+    Mirrors models.py:34-90 module selection: conv/depthwise -> BN-fold
+    quantized conv; shortcut -> requantized add (min/max way) except TPSQ
+    which keeps the float shortcut (models.py:273-274); multi-route ->
+    requantized concat.
+    """
+    layers = net.layers
+    sch = cfg.scheme
+
+    def qconv(lyr, p, st, qs, x, train):
+        has_bias = not lyr.bn
+        stride = lyr.stride_xy or lyr.stride
+        if lyr.bn:
+            out_f = conv_ops.conv2d(x, p['w'], stride=stride, padding=lyr.pad,
+                                    groups=lyr.groups,
+                                    compute_dtype=compute_dtype) if train else None
+            inv, bias, st, qs = _bn_fold(p, st, qs, out_f, train, cfg,
+                                         has_bias=('b' in p))
+            w_fold = p['w'] * inv[None, None, None, :]
+        else:
+            w_fold = p['w']
+            bias = p.get('b', jnp.zeros(lyr.filters))
+            st = st
+        # quantize folded weight + bias
+        if sch == 'google':
+            qw, qs['wq'] = google_quantize(
+                w_fold, qs['wq'], bits=cfg.w_bits, train=train,
+                freeze_step=cfg.scale_freeze_step, track='global')
+            qb, qs['bq'] = google_quantize(
+                bias, qs['bq'], bits=cfg.w_bits, train=train,
+                freeze_step=cfg.scale_freeze_step, track='global')
+        elif sch == 'tpsq':
+            qw = tpsq_quantize(w_fold, p['w_scale'], cfg.w_bits)
+            qb = tpsq_quantize(bias, p['b_scale'], cfg.w_bits)
+        else:
+            qw, qs['wq'] = cospt_quantize(w_fold, qs['wq'], bits=cfg.w_bits,
+                                          train=train)
+            qb, qs['bq'] = cospt_quantize(bias, qs['bq'], bits=cfg.w_bits,
+                                          train=train)
+        out = conv_ops.conv2d(x, qw, stride=stride, padding=lyr.pad,
+                              groups=lyr.groups, compute_dtype=compute_dtype)
+        out = out + qb
+        out = act_mod.get(lyr.activation, cfg.maxabsscaler)(out)
+        # quantize activation
+        if sch == 'google':
+            out, qs['aq'] = google_quantize(
+                out, qs['aq'], bits=cfg.a_bits, train=train,
+                freeze_step=cfg.scale_freeze_step, track='ema')
+        elif sch == 'tpsq':
+            out = tpsq_quantize(out, p['a_scale'], cfg.a_bits)
+        else:
+            out, qs['aq'] = cospt_quantize(out, qs['aq'], bits=cfg.a_bits,
+                                           train=train)
+        qs = {**qs, 'step': qs.get('step', jnp.zeros(())) + 1}
+        return out, st, qs
+
+    def qshortcut(lyr, params, qs, x, outs, train):
+        """Requantized residual add (QuantizedShortcut_min/_max,
+        quantized_google.py:839-1304)."""
+        bits = cfg.a_bits
+        qmin, qmax = qrange(bits, True)
+        qr = max(abs(qmin), abs(qmax))
+        w = None
+        if lyr.weighted:
+            w = jax.nn.sigmoid(params[str(lyr.index)]['w']) * \
+                (2.0 / (len(lyr.layers) + 1))
+            x = x * w[0]
+        for i, j in enumerate(lyr.layers):
+            a = outs[j]
+            if w is not None:
+                a = a * w[i + 1]
+            nx_, na_ = x.shape[-1], a.shape[-1]
+            if train:
+                qs['a'] = _update_range(qs['a'], jax.lax.stop_gradient(x), 'ema')
+                qs['x'] = _update_range(qs['x'], jax.lax.stop_gradient(a), 'ema')
+                if nx_ == na_:
+                    s = x + a
+                elif nx_ > na_:
+                    s = x[..., :na_] + a
+                else:
+                    s = x + a[..., :nx_]
+                qs['sum'] = _update_range(qs['sum'], jax.lax.stop_gradient(s),
+                                          'ema')
+                if cfg.shortcut_way == 2:   # max-way: cover x, a and sum
+                    fmax = jnp.maximum(jnp.maximum(qs['sum']['max'],
+                                                   qs['x']['max']),
+                                       qs['a']['max'])
+                    fmin = jnp.minimum(jnp.minimum(qs['sum']['min'],
+                                                   qs['x']['min']),
+                                       qs['a']['min'])
+                    frange = pow2_snap(jnp.maximum(jnp.abs(fmin),
+                                                   jnp.abs(fmax)))
+                    qs['scale'] = frange / qr
+                    qs['input_scale'] = qs['scale']
+                else:                        # min-way: shared input scale
+                    fmax = jnp.minimum(qs['x']['max'], qs['a']['max'])
+                    fmin = jnp.maximum(qs['x']['min'], qs['a']['min'])
+                    frange = pow2_snap(jnp.maximum(jnp.abs(fmin),
+                                                   jnp.abs(fmax)))
+                    qs['input_scale'] = frange / qr
+            in_scale = qs['input_scale'] if cfg.shortcut_way == 1 else qs['scale']
+            if cfg.shortcut_way == 2:
+                xq = fq(x, in_scale, 0.0, bits, True)
+                aq = fq(a, in_scale, 0.0, bits, True)
+            else:  # min-way: round without clamp (quantized_google.py:1147-1156)
+                xq = x + jax.lax.stop_gradient(
+                    round_half_away(x / in_scale) * in_scale - x)
+                aq = a + jax.lax.stop_gradient(
+                    round_half_away(a / in_scale) * in_scale - a)
+            if nx_ == na_:
+                s = xq + aq
+            elif nx_ > na_:
+                s = jnp.concatenate([xq[..., :na_] + aq, xq[..., na_:]], -1)
+            else:
+                s = xq + aq[..., :nx_]
+            if train and cfg.shortcut_way == 1:
+                fr = pow2_snap(jnp.maximum(jnp.abs(qs['sum']['min']),
+                                           jnp.abs(qs['sum']['max'])))
+                qs['scale'] = fr / qr
+            x = fq(s, qs['scale'], 0.0, bits, True)
+        return x, qs
+
+    def qconcat(lyr, qs, outs, train):
+        """Requantized concat (QuantizedFeatureConcat,
+        quantized_google.py:1305-1479): per-source EMA |max| list, common
+        pow-2 scale = snap(max of list)."""
+        bits = cfg.a_bits
+        qmin, qmax = qrange(bits, True)
+        qr = max(abs(qmin), abs(qmax))
+        parts = [outs[j] for j in lyr.layers]
+        if train:
+            fmaxs = []
+            for i, t in enumerate(parts):
+                t = jax.lax.stop_gradient(t)
+                m = jnp.maximum(jnp.max(t), jnp.abs(jnp.min(t)))
+                old = qs['float_max'][i]
+                new = jnp.where(old == 0, m,
+                                old * (1 - EMA_MOMENTUM) + m * EMA_MOMENTUM)
+                fmaxs.append(new)
+            fl = jnp.stack(fmaxs)
+            qs = {**qs, 'float_max': fl,
+                  'scale': pow2_snap(jnp.max(fl)) / qr}
+        parts = [fq(t, qs['scale'], 0.0, bits, True) for t in parts]
+        return jnp.concatenate(parts, axis=-1), qs
+
+    def apply(params, state, qstate, x, train: bool = False):
+        outs: dict[int, Any] = {}
+        yolo_p = []
+        feats = []
+        new_state = dict(state)
+        new_q = {k: dict(v) if isinstance(v, dict) else v
+                 for k, v in qstate.items()}
+        prev = x
+        for lyr in layers:
+            k = str(lyr.index)
+            if lyr.kind in ('conv', 'depthwise'):
+                st = state.get(k, {})
+                prev, st2, qs2 = qconv(lyr, params[k], st,
+                                       dict(new_q[k]), prev, train)
+                if st:
+                    new_state[k] = st2
+                new_q[k] = qs2
+            elif lyr.kind == 'batchnorm':
+                p = params[k]
+                if train:
+                    y, m, v = conv_ops.batch_norm_train(
+                        prev, p['gamma'], p['beta'], state[k]['mean'],
+                        state[k]['var'], 1e-4, 0.03)
+                    new_state[k] = {'mean': m, 'var': v}
+                    prev = y
+                else:
+                    prev = conv_ops.batch_norm_infer(
+                        prev, p['gamma'], p['beta'], state[k]['mean'],
+                        state[k]['var'], 1e-4)
+            elif lyr.kind == 'maxpool':
+                prev = conv_ops.max_pool(prev, lyr.size, lyr.stride)
+            elif lyr.kind == 'se':
+                p = params[k]
+                prev = conv_ops.se_block(prev, p['fc1'], p['fc2'])
+            elif lyr.kind == 'upsample':
+                prev = conv_ops.upsample_nearest(prev, lyr.stride)
+            elif lyr.kind == 'route':
+                if len(lyr.layers) > 1:
+                    if sch == 'tpsq' or k not in new_q:
+                        prev = jnp.concatenate([outs[j] for j in lyr.layers],
+                                               axis=-1)
+                    else:
+                        prev, new_q[k] = qconcat(lyr, dict(new_q[k]), outs,
+                                                 train)
+                elif lyr.route_groups:
+                    c = prev.shape[-1]
+                    prev = prev[..., c // 2:]
+                else:
+                    prev = outs[lyr.layers[0]]
+            elif lyr.kind == 'shortcut':
+                if sch == 'tpsq' or k not in new_q:
+                    x_ = prev
+                    if lyr.weighted:
+                        ws = jax.nn.sigmoid(params[k]['w']) * \
+                            (2.0 / (len(lyr.layers) + 1))
+                        x_ = x_ * ws[0]
+                    for i, j in enumerate(lyr.layers):
+                        a = outs[j]
+                        if lyr.weighted:
+                            a = a * ws[i + 1]
+                        na_ = a.shape[-1]
+                        nx_ = x_.shape[-1]
+                        if nx_ == na_:
+                            x_ = x_ + a
+                        elif nx_ > na_:
+                            x_ = jnp.concatenate([x_[..., :na_] + a,
+                                                  x_[..., na_:]], -1)
+                        else:
+                            x_ = x_ + a[..., :nx_]
+                    prev = x_
+                else:
+                    prev, new_q[k] = qshortcut(lyr, params, dict(new_q[k]),
+                                               prev, outs, train)
+            elif lyr.kind == 'yolo':
+                yolo_p.append(reshape_pred(prev, lyr.na, lyr.no))
+            elif lyr.kind in ('reorg3d', 'dropout'):
+                pass
+
+            if lyr.is_routed:
+                outs[lyr.index] = prev
+            if lyr.feature_out:
+                feats.append(prev)
+
+        if train:
+            return (yolo_p, feats), new_state, new_q
+
+        ios = []
+        yi = 0
+        for lyr in layers:
+            if lyr.kind == 'yolo':
+                ios.append(decode_yolo(yolo_p[yi], lyr.anchors,
+                                       lyr.yolo_stride))
+                yi += 1
+        return jnp.concatenate(ios, axis=1), yolo_p, feats
+
+    return apply
+
+
+def quantize_input_16bit(x):
+    """Fixed Q14 input quantization for 16-bit activations
+    (reference train.py:349-354, detect.py:102-107)."""
+    x = x * (1 << 14)
+    x = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    return x / (1 << 14)
+
+
+def bn_fuse_weights(net: NetworkIR, params, state):
+    """Export-time fold of BN into W/b for every quantized conv
+    (BN_fuse, quantized_google.py:821-836). Returns {idx: (w_fold, bias)}."""
+    import numpy as np
+    out = {}
+    for lyr in net.layers:
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
+        k = str(lyr.index)
+        p = {f: np.asarray(v) for f, v in params[k].items()}
+        if lyr.bn:
+            st = {f: np.asarray(v) for f, v in state[k].items()}
+            inv = p['gamma'] / np.sqrt(st['var'] + BN_EPS)
+            w = p['w'] * inv[None, None, None, :]
+            b = (p['beta'] + (p.get('b', 0) - st['mean']) * inv
+                 if 'b' in p else p['beta'] - st['mean'] * inv)
+        else:
+            w, b = p['w'], p.get('b', np.zeros(lyr.filters, np.float32))
+        out[lyr.index] = (w, b)
+    return out
