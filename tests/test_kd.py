@@ -1,0 +1,112 @@
+"""KD strategy tests: zero at student==teacher, positive otherwise, and
+end-to-end integration with the train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_tpu.ir import build_ir
+from yolo_tpu.models.network import init_params, make_apply
+from yolo_tpu.train import kd
+from yolo_tpu.train.loss import LossHyp, pad_targets
+from yolo_tpu.train.trainer import init_train_state, make_train_functions
+
+from tests.test_trainer import TOY_CFG, _batch
+
+
+def _case(seed=0, bs=2, nc=2, shapes=((4, 4), (8, 8)), nt=3, max_t=16):
+    rng = np.random.RandomState(seed)
+    na = 3
+    anchor_vecs = [rng.uniform(0.5, 3, (na, 2)) for _ in shapes]
+    out_s = [jnp.asarray(rng.randn(bs, na, ny, nx, nc + 5).astype(np.float32))
+             for ny, nx in shapes]
+    out_t = [jnp.asarray(rng.randn(bs, na, ny, nx, nc + 5).astype(np.float32))
+             for ny, nx in shapes]
+    labels = []
+    for _ in range(bs):
+        lab = np.zeros((nt, 5), np.float32)
+        lab[:, 0] = rng.randint(0, nc, nt)
+        lab[:, 1:3] = rng.uniform(0.2, 0.8, (nt, 2))
+        lab[:, 3:5] = rng.uniform(0.1, 0.3, (nt, 2))
+        labels.append(lab)
+    tgt, valid = pad_targets(labels, max_t)
+    return out_s, out_t, jnp.asarray(tgt), jnp.asarray(valid), anchor_vecs, nc
+
+
+def test_kd1_zero_when_equal():
+    out_s, out_t, *_ = _case()
+    v = kd.kd1(out_s, out_s, nc=2, batch_size=2)
+    assert abs(float(v)) < 1e-5
+    v2 = kd.kd1(out_s, out_t, nc=2, batch_size=2)
+    assert float(v2) > 0
+
+
+def test_kd2_margin_and_ratio():
+    out_s, out_t, tgt, valid, av, nc = _case()
+    loss, ratio = kd.kd2(out_s, out_t, tgt, valid, av, nc)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert 0.0 <= float(ratio) <= 1.0
+    # identical student/teacher: box term collapses (d_s == d_t, margin 0
+    # keeps strict '>' false) and cls KL is zero
+    loss_eq, ratio_eq = kd.kd2(out_s, out_s, tgt, valid, av, nc)
+    assert abs(float(loss_eq)) < 1e-5
+
+
+def test_kd3_zero_when_equal():
+    out_s, out_t, tgt, valid, av, nc = _case(1)
+    assert abs(float(kd.kd3(out_s, out_s, tgt, valid, av, nc))) < 1e-5
+    assert float(kd.kd3(out_s, out_t, tgt, valid, av, nc)) > 0
+
+
+def test_kd4_feature_term():
+    out_s, out_t, tgt, valid, av, nc = _case(2)
+    rng = np.random.RandomState(3)
+    fs = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+    ft = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+    v_eq = kd.kd4(out_s, out_s, fs, fs, tgt, valid, av, nc, batch_size=2)
+    assert abs(float(v_eq)) < 1e-5
+    v = kd.kd4(out_s, out_t, fs, ft, tgt, valid, av, nc, batch_size=2)
+    assert float(v) > 0
+
+
+def test_kd5_foreground_mask():
+    out_s, out_t, tgt, valid, av, nc = _case(4, shapes=((2, 2), (4, 4)))
+    rng = np.random.RandomState(5)
+    fs = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+    ft = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+    v = kd.kd5(out_s, out_t, fs, ft, tgt, valid, av, nc, batch_size=2,
+               img_size=64, strides=(32, 16))
+    assert np.isfinite(float(v))
+    v_eq = kd.kd5(out_s, out_s, fs, fs, tgt, valid, av, nc, batch_size=2,
+                  img_size=64, strides=(32, 16))
+    assert abs(float(v_eq)) < 1e-5
+
+
+@pytest.mark.parametrize('strategy', [1, 2, 3, 4, 5])
+def test_kd_in_train_step(tmp_path, strategy):
+    """Full integration: teacher forward inside the jitted train step."""
+    p = tmp_path / 'toy.cfg'
+    p.write_text(TOY_CFG)
+    net = build_ir(str(p))
+    s_params, s_state = init_params(jax.random.PRNGKey(0), net)
+    t_params, t_state = init_params(jax.random.PRNGKey(1), net)
+    anchor_vecs = [l.anchors / l.yolo_stride for l in net.layers
+                   if l.kind == 'yolo']
+    strides = [l.yolo_stride for l in net.layers if l.kind == 'yolo']
+    teacher_apply = make_apply(net, compute_dtype=None)
+    kd_fn = kd.make_kd_loss_fn(strategy, teacher_apply, t_params, t_state,
+                               nc=2, anchor_vecs=anchor_vecs, img_size=64,
+                               strides=strides)
+    grad_fn, update_fn = make_train_functions(
+        net, anchor_vecs, nc=2, hyp=LossHyp(), compute_dtype=None,
+        kd_loss_fn=kd_fn)
+    ts = init_train_state(s_params, s_state)
+    imgs, tgt, valid = _batch(bs=2)
+    ts2, items = grad_fn(ts, jnp.asarray(imgs), jnp.asarray(tgt),
+                         jnp.asarray(valid), 1.0, 1.0)
+    assert np.isfinite(np.asarray(items)).all()
+    # gradients accumulated
+    gsum = sum(float(jnp.abs(v).sum()) for d in ts2.grad_accum.values()
+               for v in d.values())
+    assert gsum > 0

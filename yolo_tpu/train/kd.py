@@ -1,0 +1,239 @@
+"""Knowledge-distillation losses (strategies 1-5) as fixed-shape jittables.
+
+Reference: compute_lost_KD{,2,3,4,5} (utils/utils.py:435-654). The teacher is
+just a second jitted forward returning (yolo_p, feature_out); both models see
+identical fixed-capacity targets, so every strategy is a pure function of
+(student outputs, teacher outputs, targets) — they compose with the train
+step via the ``kd_loss_fn`` hook (train/trainer.py).
+
+Deviations from the reference, by design:
+- dynamic target subsets are dense (anchor, slot) grids + boolean masks
+  (same device-friendly scheme as train/loss.py);
+- KD5's fine-grained foreground mask marks the full expanded cell rectangle
+  per target; the reference's index-expansion loop (utils/utils.py:584-600)
+  only marks the diagonal of that rectangle — an artifact of appending gj/gi
+  ranges independently.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .loss import build_targets_layer
+
+T_KD = 3.0  # distillation temperature (all strategies)
+
+
+def _kl_div_sum(log_p_s, p_t):
+    """torch KLDivLoss(reduction='sum')(log_softmax(s), softmax(t)):
+    sum(p_t * (log p_t - log p_s))."""
+    log_p_t = jnp.log(jnp.clip(p_t, 1e-12))
+    return jnp.sum(p_t * (log_p_t - log_p_s))
+
+
+def _soft_kl(student_logits, teacher_logits, T=T_KD):
+    """KL(softmax(t/T) || softmax(s/T)) summed, times T^2."""
+    log_ps = jax.nn.log_softmax(student_logits / T, axis=-1)
+    pt = jax.nn.softmax(teacher_logits / T, axis=-1)
+    return _kl_div_sum(log_ps, pt) * (T * T)
+
+
+def kd1(output_s: Sequence, output_t: Sequence, nc: int, batch_size: int):
+    """Global KLDiv over all raw outputs (compute_lost_KD,
+    utils/utils.py:435-443)."""
+    Lambda_ST = 0.001
+    s = jnp.concatenate([o.reshape(-1, nc + 5) for o in output_s], axis=0)
+    t = jnp.concatenate([o.reshape(-1, nc + 5) for o in output_t], axis=0)
+    return _soft_kl(s, t) / batch_size * Lambda_ST
+
+
+def _gathered_boxes(p, lt):
+    """Decode student/teacher boxes at assigned cells: (na*T, 4) grid units."""
+    bs, na, ny, nx, no = p.shape
+    b = lt.b.reshape(-1)
+    a = lt.a.reshape(-1)
+    gj = jnp.clip(lt.gj.reshape(-1), 0, ny - 1)
+    gi = jnp.clip(lt.gi.reshape(-1), 0, nx - 1)
+    ps = p[b, a, gj, gi]
+    xy = jax.nn.sigmoid(ps[:, 0:2])
+    wh = jnp.exp(ps[:, 2:4]) * lt.av.reshape(-1, 2)
+    return jnp.concatenate([xy, wh], axis=1)
+
+
+def _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t=0.2):
+    lts = []
+    for i, p in enumerate(output_s):
+        _, _, ny, nx, _ = p.shape
+        lts.append(build_targets_layer(targets, valid,
+                                       jnp.asarray(anchor_vecs[i]), ny, nx,
+                                       iou_t))
+    return lts
+
+
+def kd2(output_s, output_t, targets, valid, anchor_vecs, nc: int,
+        iou_t: float = 0.2):
+    """L2-to-GT with teacher margin + KLDiv on obj/cls
+    (compute_lost_KD2, utils/utils.py:446-487). Box term only counts where
+    the student is farther from GT than the teacher (+reg_m margin).
+    Returns (loss, reg_ratio)."""
+    reg_m = 0.0
+    Lambda_cls, Lambda_box = 0.0001, 0.001
+    lcls = jnp.zeros(())
+    lbox = jnp.zeros(())
+    reg_num = jnp.zeros(())
+    reg_nb = jnp.zeros(())
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
+        mask = lt.mask.reshape(-1)
+        tbox = jnp.concatenate([lt.txy.reshape(-1, 2), lt.twh.reshape(-1, 2)], 1)
+        psbox = _gathered_boxes(ps_raw, lt)
+        ptbox = _gathered_boxes(pt_raw, lt)
+        d_s = jnp.sum(jnp.square(psbox - tbox), axis=1)
+        d_t = jnp.sum(jnp.square(ptbox - tbox), axis=1)
+        worse = (d_s + reg_m > d_t) & mask
+        lbox = lbox + jnp.sum(d_s * worse)
+        reg_num = reg_num + jnp.sum(worse)
+        reg_nb = reg_nb + jnp.sum(mask)
+        # obj+cls distillation over the whole map
+        s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
+        t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
+        lcls = lcls + _soft_kl(s_oc, t_oc) / ps_raw.shape[0]
+    reg_ratio = reg_num / jnp.maximum(reg_nb, 1)
+    return lcls * Lambda_cls + lbox * Lambda_box, reg_ratio
+
+
+def kd3(output_s, output_t, targets, valid, anchor_vecs, nc: int,
+        iou_t: float = 0.2):
+    """L2 student->teacher boxes at assigned cells + KLDiv obj/cls
+    (compute_lost_KD3, utils/utils.py:490-521)."""
+    Lambda_cls, Lambda_box = 0.0001, 0.001
+    lcls = jnp.zeros(())
+    lbox = jnp.zeros(())
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
+        mask = lt.mask.reshape(-1)
+        psbox = _gathered_boxes(ps_raw, lt)
+        ptbox = _gathered_boxes(pt_raw, lt)
+        lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
+        s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
+        t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
+        lcls = lcls + _soft_kl(s_oc, t_oc) / ps_raw.shape[0]
+    return lcls * Lambda_cls + lbox * Lambda_box
+
+
+def _feature_saliency(f):
+    """NHWC feature -> per-pixel |.|-sum saliency rows (bs, h*w)
+    (utils/utils.py:559-561 abs().sum(channel))."""
+    return jnp.sum(jnp.abs(f), axis=-1).reshape(f.shape[0], -1)
+
+
+def kd4(output_s, output_t, feature_s, feature_t, targets, valid,
+        anchor_vecs, nc: int, batch_size: int, iou_t: float = 0.2):
+    """KD3 + feature-map KLDiv on |sum| saliency maps
+    (compute_lost_KD4, utils/utils.py:524-564)."""
+    # NOTE: KD4 weights cls at 0.001 (vs 0.0001 in KD2/3) — utils/utils.py:526
+    Lambda_cls, Lambda_box, Lambda_feature = 0.001, 0.001, 0.001
+    lcls = jnp.zeros(())
+    lbox = jnp.zeros(())
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
+        mask = lt.mask.reshape(-1)
+        psbox = _gathered_boxes(ps_raw, lt)
+        ptbox = _gathered_boxes(pt_raw, lt)
+        lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
+        s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
+        t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
+        lcls = lcls + _soft_kl(s_oc, t_oc) / ps_raw.shape[0]
+    lfeat = jnp.zeros(())
+    for fs, ft_ in zip(feature_s, feature_t):
+        lfeat = lfeat + _soft_kl(_feature_saliency(fs),
+                                 _feature_saliency(ft_)) / batch_size
+    return lcls * Lambda_cls + lbox * Lambda_box + lfeat * Lambda_feature
+
+
+def _foreground_mask(h, w, lts, strides, img_size):
+    """Foreground mask (h, w) batch-wise from all assigned target cells,
+    expanded to the feature resolution (fine_grained_imitation_feature_mask,
+    utils/utils.py:579-606; rectangle variant — see module docstring)."""
+    scale = img_size / h
+
+    def build(bs):
+        m = jnp.zeros((bs, h, w))
+        for lt, stride in zip(lts, strides):
+            if stride < scale:
+                continue
+            e = max(int(stride / scale), 1)
+            b = lt.b.reshape(-1)
+            gj = lt.gj.reshape(-1)
+            gi = lt.gi.reshape(-1)
+            mask = lt.mask.reshape(-1)
+            base_j = (gj * stride / scale).astype(jnp.int32)
+            base_i = (gi * stride / scale).astype(jnp.int32)
+            b_w = jnp.where(mask, b, bs)   # drop invalid writes
+            for dj in range(e):
+                for di in range(e):
+                    m = m.at[b_w, jnp.clip(base_j + dj, 0, h - 1),
+                             jnp.clip(base_i + di, 0, w - 1)].set(
+                        1.0, mode='drop')
+        return m
+    return build
+
+
+def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
+        anchor_vecs, nc: int, batch_size: int, img_size: int,
+        strides: Sequence[int], iou_t: float = 0.2):
+    """KD4 with fine-grained foreground masking of the feature saliency maps
+    (compute_lost_KD5, utils/utils.py:609-654)."""
+    Lambda_cls, Lambda_box, Lambda_feature = 0.001, 0.001, 0.001
+    lcls = jnp.zeros(())
+    lbox = jnp.zeros(())
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
+        mask = lt.mask.reshape(-1)
+        psbox = _gathered_boxes(ps_raw, lt)
+        ptbox = _gathered_boxes(pt_raw, lt)
+        lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
+        s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
+        t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
+        lcls = lcls + _soft_kl(s_oc, t_oc) / ps_raw.shape[0]
+    lfeat = jnp.zeros(())
+    for fs, ft_ in zip(feature_s, feature_t):
+        bs, h, w, _ = fs.shape
+        fg = _foreground_mask(h, w, lts, strides, img_size)(bs)
+        sal_s = (jnp.sum(jnp.abs(fs), -1) * fg).reshape(bs, -1)
+        sal_t = (jnp.sum(jnp.abs(ft_), -1) * fg).reshape(bs, -1)
+        lfeat = lfeat + _soft_kl(sal_s, sal_t) / batch_size
+    return lcls * Lambda_cls + lbox * Lambda_box + lfeat * Lambda_feature
+
+
+def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
+                    anchor_vecs, img_size: int = 416,
+                    strides: Sequence[int] = (32, 16, 8)):
+    """Build the kd_loss_fn hook for make_train_functions (train.py:389-435).
+
+    The teacher forward runs inside the jitted student step (eval-mode,
+    stop-gradient)."""
+
+    def kd_loss_fn(yolo_p, feats, targets, valid, imgs):
+        (t_yolo, t_feats), _ = teacher_apply(t_params, t_state, imgs, True)
+        t_yolo = [jax.lax.stop_gradient(t) for t in t_yolo]
+        t_feats = [jax.lax.stop_gradient(t) for t in t_feats]
+        bs = imgs.shape[0]
+        if strategy == 1:
+            return kd1(yolo_p, t_yolo, nc, bs)
+        if strategy == 2:
+            return kd2(yolo_p, t_yolo, targets, valid, anchor_vecs, nc)[0]
+        if strategy == 3:
+            return kd3(yolo_p, t_yolo, targets, valid, anchor_vecs, nc)
+        if strategy == 4:
+            return kd4(yolo_p, t_yolo, feats, t_feats, targets, valid,
+                       anchor_vecs, nc, bs)
+        if strategy == 5:
+            return kd5(yolo_p, t_yolo, feats, t_feats, targets, valid,
+                       anchor_vecs, nc, bs, img_size, strides)
+        raise ValueError(f'unknown KD strategy {strategy}')
+
+    return kd_loss_fn
