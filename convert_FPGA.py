@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""FPGA weight export CLI (reference convert_FPGA.py / convert_FPGA_2.py):
+BN-fuse every conv, quantize with the calibrated pow-2 scales, write packed
+int8/int16 weight/bias binaries + per-layer shift-exponent binaries,
+optionally TM/TN-tile-reordered."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
+    p.add_argument('--weights', type=str, default='weights/PTQ.npz')
+    p.add_argument('--quantized', type=int, default=3)
+    p.add_argument('--a-bit', type=int, default=8)
+    p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--shortcut_way', type=int, default=1)
+    p.add_argument('--reorder', action='store_true')
+    p.add_argument('--TM', type=int, default=32)
+    p.add_argument('--TN', type=int, default=32)
+    p.add_argument('--out', type=str, default='fpga_export')
+    opt = p.parse_args(argv)
+
+    from yolo_tpu.compress.fpga_export import export_fpga_weights
+    from yolo_tpu.runtime import load_model
+    from yolo_tpu.utils.checkpoint import load_checkpoint
+
+    bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
+                        a_bit=opt.a_bit, w_bit=opt.w_bit,
+                        shortcut_way=opt.shortcut_way)
+    qpath = opt.weights.replace('.npz', '_qstate.npz')
+    if os.path.exists(qpath):
+        bundle.qstate = load_checkpoint(qpath)['params']
+    out = export_fpga_weights(bundle, opt.out, reorder=opt.reorder,
+                              TM=opt.TM, TN=opt.TN)
+    print(f'FPGA export written to {out}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Detection CLI (reference detect.py:9-233): images / video / webcam / RTSP
+sources, on-device NMS, box rescale to original frames, draw + save."""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
+    p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
+    p.add_argument('--weights', type=str, default='weights/last.npz')
+    p.add_argument('--source', type=str, default='data/samples')
+    p.add_argument('--output', type=str, default='output')
+    p.add_argument('--img-size', type=int, default=416)
+    p.add_argument('--conf-thres', type=float, default=0.3)
+    p.add_argument('--iou-thres', type=float, default=0.6)
+    p.add_argument('--classes', nargs='+', type=int)
+    p.add_argument('--agnostic-nms', action='store_true')
+    p.add_argument('--save-txt', action='store_true')
+    p.add_argument('--view-img', action='store_true')
+    p.add_argument('--quantized', type=int, default=-1)
+    p.add_argument('--a-bit', type=int, default=8)
+    p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--shortcut_way', type=int, default=1)
+    p.add_argument('--gray_scale', action='store_true')
+    p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--quantizer_output', action='store_true',
+                   help='dump per-layer FPGA cross-check artifacts')
+    p.add_argument('--reorder', action='store_true')
+    p.add_argument('--TM', type=int, default=32)
+    p.add_argument('--TN', type=int, default=32)
+    opt = p.parse_args(argv)
+
+    import cv2
+    import jax.numpy as jnp
+    from yolo_tpu.config import load_classes, parse_data_cfg
+    from yolo_tpu.data.datasets import LoadImages, LoadStreams, LoadWebcam
+    from yolo_tpu.ops.boxes import scale_coords
+    from yolo_tpu.ops.nms import to_host_detections
+    from yolo_tpu.runtime import load_model, preprocess
+    from yolo_tpu.utils.plots import color_for_class, plot_one_box
+
+    os.makedirs(opt.output, exist_ok=True)
+    names = load_classes(parse_data_cfg(opt.data)['names'])
+
+    bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
+                        a_bit=opt.a_bit, w_bit=opt.w_bit,
+                        shortcut_way=opt.shortcut_way,
+                        is_gray_scale=opt.gray_scale,
+                        maxabsscaler=opt.maxabsscaler)
+    if opt.quantized == -1:
+        bundle = bundle.fuse()
+    infer = bundle.make_infer(conf_thres=opt.conf_thres,
+                              iou_thres=opt.iou_thres,
+                              agnostic=opt.agnostic_nms)
+
+    if opt.quantizer_output:
+        from yolo_tpu.compress.fpga_export import dump_quantizer_output
+        dump_quantizer_output(bundle, reorder=opt.reorder, TM=opt.TM,
+                              TN=opt.TN)
+
+    src = opt.source
+    webcam = src == '0' or src.startswith(('rtsp', 'http')) or \
+        src.endswith('.txt')
+    if webcam:
+        dataset = LoadStreams(src, img_size=opt.img_size) \
+            if src != '0' else LoadWebcam(0, img_size=opt.img_size)
+    else:
+        dataset = LoadImages(src, img_size=opt.img_size,
+                             is_gray_scale=opt.gray_scale)
+
+    vid_writer = None
+    for path, img, im0, vid_cap in dataset:
+        x = np.ascontiguousarray(img.transpose(1, 2, 0))[None]  # CHW->NHWC
+        t0 = time.time()
+        dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
+        dt = time.time() - t0
+        det = dets[0]
+        s = f'{path}: {x.shape[2]}x{x.shape[1]} '
+        save_path = str(Path(opt.output) / Path(path).name)
+        if det is not None and len(det):
+            det[:, :4] = np.asarray(scale_coords(
+                x.shape[1:3], det[:, :4], im0.shape[:2]))
+            if opt.classes:
+                det = det[np.isin(det[:, 5].astype(int), opt.classes)]
+            for c in np.unique(det[:, 5].astype(int)):
+                n = int((det[:, 5] == c).sum())
+                s += f'{n} {names[c]}s, '
+            for *xyxy, conf, cls in det:
+                label = f'{names[int(cls)]} {conf:.2f}'
+                plot_one_box(xyxy, im0, label=label,
+                             color=color_for_class(int(cls)))
+                if opt.save_txt:
+                    with open(save_path.rsplit('.', 1)[0] + '.txt', 'a') as f:
+                        f.write(('%g ' * 6 + '\n') % (*xyxy, cls, conf))
+        print(f'{s}Done. ({dt:.3f}s)')
+
+        if dataset.mode == 'images':
+            cv2.imwrite(save_path, im0)
+        else:
+            if vid_writer is None or not isinstance(vid_writer, cv2.VideoWriter):
+                fps = vid_cap.get(cv2.CAP_PROP_FPS) if vid_cap else 30
+                h, w = im0.shape[:2]
+                vid_writer = cv2.VideoWriter(
+                    save_path, cv2.VideoWriter_fourcc(*'mp4v'), fps, (w, h))
+            vid_writer.write(im0)
+    print(f'Results saved to {opt.output}')
+
+
+if __name__ == '__main__':
+    main()

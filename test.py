@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""mAP evaluation CLI (reference test.py:256-309)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
+    p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
+    p.add_argument('--weights', type=str, default='weights/last.npz')
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--img-size', type=int, default=416)
+    p.add_argument('--conf-thres', type=float, default=0.001)
+    p.add_argument('--iou-thres', type=float, default=0.6)
+    p.add_argument('--save-json', action='store_true')
+    p.add_argument('--task', default='test', help="'test' | 'benchmark'")
+    p.add_argument('--quantized', type=int, default=-1)
+    p.add_argument('--a-bit', type=int, default=8)
+    p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--shortcut_way', type=int, default=1)
+    p.add_argument('--gray_scale', action='store_true')
+    p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--single-cls', action='store_true')
+    opt = p.parse_args(argv)
+
+    from yolo_tpu.runtime import load_model
+    from yolo_tpu.eval.evaluator import evaluate
+
+    bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
+                        a_bit=opt.a_bit, w_bit=opt.w_bit,
+                        shortcut_way=opt.shortcut_way,
+                        is_gray_scale=opt.gray_scale,
+                        maxabsscaler=opt.maxabsscaler)
+    if opt.quantized == -1:
+        bundle = bundle.fuse()   # conv+bn fuse for eval (test.py:52-53)
+
+    if opt.task == 'benchmark':
+        # sweep sizes/IoU (reference test.py:302-309)
+        results = []
+        for size in range(256, 640 + 128, 128):
+            for iou in (0.6,):
+                r, _, t = evaluate(bundle.net, bundle.params, bundle.state,
+                                   opt.data, batch_size=opt.batch_size,
+                                   img_size=size, conf_thres=opt.conf_thres,
+                                   iou_thres=iou, fused=(opt.quantized == -1),
+                                   single_cls=opt.single_cls,
+                                   quant_apply=bundle._apply if bundle.quantized else None,
+                                   qstate=bundle.qstate)
+                results.append((size, iou, r[2], t))
+        for row in results:
+            print(row)
+        return results
+
+    r, maps, t = evaluate(bundle.net, bundle.params, bundle.state, opt.data,
+                          batch_size=opt.batch_size, img_size=opt.img_size,
+                          conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                          fused=(opt.quantized == -1),
+                          save_json=opt.save_json, verbose=True,
+                          single_cls=opt.single_cls,
+                          maxabsscaler=opt.maxabsscaler,
+                          quant_apply=bundle._apply if bundle.quantized else None,
+                          qstate=bundle.qstate)
+    print(f'speed: {t[0]:.3f}s inference+nms total')
+    return r
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,219 @@
+"""End-to-end CLI integration on a tiny synthetic dataset (SURVEY.md §4:
+the reference's empirical QA, automated)."""
+
+import os
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOY_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23
+classes=1
+num=3
+"""
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    """Synthetic single-class dataset + toy cfg + .data descriptor."""
+    root = tmp_path_factory.mktemp('ws')
+    (root / 'images').mkdir()
+    (root / 'labels').mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(8):
+        img = np.full((96, 96, 3), 40, np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        bw, bh = 0.35, 0.3
+        x1, y1 = int((cx - bw / 2) * 96), int((cy - bh / 2) * 96)
+        x2, y2 = int((cx + bw / 2) * 96), int((cy + bh / 2) * 96)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), -1)
+        p = root / 'images' / f'im{i}.jpg'
+        cv2.imwrite(str(p), img)
+        (root / 'labels' / f'im{i}.txt').write_text(f'0 {cx} {cy} {bw} {bh}\n')
+        paths.append(str(p))
+    (root / 'train.txt').write_text('\n'.join(paths[:6]))
+    (root / 'valid.txt').write_text('\n'.join(paths[6:]))
+    (root / 'obj.names').write_text('thing\n')
+    (root / 'obj.data').write_text(
+        f'classes=1\ntrain={root}/train.txt\nvalid={root}/valid.txt\n'
+        f'names={root}/obj.names\n')
+    cfg = root / 'toy.cfg'
+    cfg.write_text(TOY_CFG)
+    return root
+
+
+def test_train_cli_end_to_end(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    r = train_cli.main([
+        '--cfg', str(workspace / 'toy.cfg'),
+        '--data', str(workspace / 'obj.data'),
+        '--epochs', '2', '--batch-size', '4', '--img-size', '64', '64', '64',
+    ])
+    assert os.path.exists('weights/last.npz')
+    assert os.path.exists('results.txt')
+    lines = open('results.txt').read().strip().splitlines()
+    assert len(lines) == 2
+    assert np.isfinite(np.array(r)).all()
+
+
+def test_test_cli(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    train_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                    '--data', str(workspace / 'obj.data'),
+                    '--epochs', '1', '--batch-size', '4',
+                    '--img-size', '64', '64', '64', '--notest'])
+    import test as test_cli
+    r = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                       '--data', str(workspace / 'obj.data'),
+                       '--weights', 'weights/last.npz',
+                       '--img-size', '64', '--batch-size', '4'])
+    assert len(r) == 7
+
+
+def test_detect_cli(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    train_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                    '--data', str(workspace / 'obj.data'),
+                    '--epochs', '1', '--batch-size', '4',
+                    '--img-size', '64', '64', '64', '--notest'])
+    import detect as detect_cli
+    detect_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                     '--data', str(workspace / 'obj.data'),
+                     '--weights', 'weights/last.npz',
+                     '--source', str(workspace / 'images'),
+                     '--img-size', '64', '--conf-thres', '0.01',
+                     '--output', 'out'])
+    assert len(os.listdir('out')) == 8
+
+
+def test_convert_cli_roundtrip(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import convert as convert_cli
+    convert_cli.main(['--cfg', str(workspace / 'toy.cfg'), '--weights', 'm.npz'])
+    assert os.path.exists('m.weights')
+    convert_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                      '--weights', 'm.weights'])
+    ck = load_checkpoint('m.npz')
+    for k in params:
+        for f in params[k]:
+            np.testing.assert_array_equal(np.asarray(params[k][f]),
+                                          np.asarray(ck['params'][k][f]))
+
+
+def test_ptq_cli(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                  '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4', '--no-eval',
+                  '--out', 'weights/PTQ.npz'])
+    assert os.path.exists('weights/PTQ.npz')
+    assert os.path.exists('weights/PTQ_qstate.npz')
+
+    import convert_FPGA as fpga_cli
+    fpga_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                   '--weights', 'weights/PTQ.npz', '--reorder'])
+    for f in ('weights.bin', 'biases.bin', 'w_scale.bin'):
+        assert os.path.exists(f'fpga_export/{f}')
+
+
+def test_info_cli(workspace, capsys):
+    import info as info_cli
+    r = info_cli.main(['--cfg', str(workspace / 'toy.cfg'), '--img-size', '64'])
+    assert r['params'] > 0 and r['gflops'] > 0
+
+
+def test_prune_cli(workspace, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    # shrink some gammas so the threshold prunes
+    rng = np.random.RandomState(0)
+    for k in ('0', '1', '2'):
+        g = np.asarray(params[k]['gamma']).copy()
+        g[rng.choice(len(g), len(g) // 2, replace=False)] = 1e-5
+        params[k]['gamma'] = jnp.asarray(g)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    from yolo_tpu.compress.prune_cli import run_prune_cli
+    res = run_prune_cli('normal', [
+        '--cfg', str(workspace / 'toy.cfg'),
+        '--data', str(workspace / 'obj.data'),
+        '--weights', 'm.npz', '--percent', '0.3', '--img-size', '64',
+        '--batch-size', '2', '--no-eval'])
+    assert res.report['params_after'] < res.report['params_before']
+    # emitted cfg must rebuild
+    out_cfgs = [f for f in os.listdir(os.path.dirname(str(workspace / 'toy.cfg')))
+                if f.startswith('normal_prune')]
+    assert out_cfgs
+    net2 = build_ir(str(workspace / out_cfgs[0]))
+    assert len(net2.layers) == len(net.layers)

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Training CLI (reference train.py:598-665 argparse surface).
+
+Examples:
+  python train.py --cfg cfg/yolov3/yolov3.cfg --data data_cfg/coco2014.data \
+      --epochs 100 --batch-size 16 --img-size 416 416 416
+  python train.py --prune 0 --s 0.001 ...        # sparse training for pruning
+  python train.py --quantized 1 --a-bit 8 --w-bit 8 ...   # QAT
+  python train.py --t_cfg ... --t_weights ... --KDstr 1   # distillation
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
+    p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
+    p.add_argument('--weights', type=str, default='')
+    p.add_argument('--epochs', type=int, default=300)
+    p.add_argument('--batch-size', type=int, default=16)
+    p.add_argument('--img-size', nargs='+', type=int, default=[416, 416, 416],
+                   help='[min_train, max_train, test]')
+    p.add_argument('--multi-scale', action='store_true')
+    p.add_argument('--rect', action='store_true')
+    p.add_argument('--cache-images', action='store_true')
+    p.add_argument('--single-cls', action='store_true')
+    p.add_argument('--adam', action='store_true')
+    p.add_argument('--ema', action='store_true', default=True)
+    p.add_argument('--prune', type=int, default=-1,
+                   help='-1 off, 0 normal, 1 shortcut, 2 layer sparse sets')
+    p.add_argument('--s', dest='sparsity', type=float, default=0.001,
+                   help='BN-gamma L1 sparsity strength')
+    p.add_argument('--quantized', type=int, default=-1,
+                   help='-1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ')
+    p.add_argument('--a-bit', type=int, default=8)
+    p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--shortcut_way', type=int, default=1)
+    p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--gray_scale', action='store_true')
+    p.add_argument('--pt', action='store_true',
+                   help='skip 255-ch COCO heads when loading .weights')
+    p.add_argument('--t_cfg', type=str, default='', help='teacher cfg (KD)')
+    p.add_argument('--t_weights', type=str, default='')
+    p.add_argument('--KDstr', type=int, default=1, help='KD strategy 1-5')
+    p.add_argument('--notest', action='store_true')
+    p.add_argument('--nosave', action='store_true')
+    p.add_argument('--name', type=str, default='')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    from yolo_tpu.train.loop import TrainOptions, run_training
+    img_size = opt.img_size
+    img_size.extend([img_size[-1]] * (3 - len(img_size)))
+    weights = opt.weights
+    if opt.resume and not weights:
+        weights = 'weights/last.npz'
+    topt = TrainOptions(
+        cfg=opt.cfg, data=opt.data, weights=weights, epochs=opt.epochs,
+        batch_size=opt.batch_size, img_size=tuple(img_size[:3]),
+        multi_scale=opt.multi_scale, rect=opt.rect,
+        cache_images=opt.cache_images, single_cls=opt.single_cls,
+        adam=opt.adam, ema=opt.ema, prune=opt.prune, sparsity=opt.sparsity,
+        quantized=opt.quantized, a_bit=opt.a_bit, w_bit=opt.w_bit,
+        shortcut_way=opt.shortcut_way, maxabsscaler=opt.maxabsscaler,
+        gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
+        t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
+        nosave=opt.nosave, seed=opt.seed,
+        results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
+    return run_training(topt)
+
+
+if __name__ == '__main__':
+    main()

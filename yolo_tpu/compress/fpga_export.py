@@ -1,0 +1,249 @@
+"""FPGA artifact export: quantizer_output dumps, TM/TN tiled reorder, and
+packed weight/bias binaries.
+
+Reference: the quantizer_output machinery embedded in the quantized conv
+forward (quantized_google.py:395-819), convert_FPGA.py / convert_FPGA_2.py
+(:41-158), and utils/output_upsample.py. Here it is a standalone pure-numpy
+exporter that walks the IR + pytrees — no hooks inside the compute path, so
+the jitted graph stays clean; the same artifacts are produced offline.
+
+Artifacts per conv layer (name = '%04d_conv' % layer_idx):
+  q_weight_out/q_weight_<name>.txt       integer weights (flattened OIHW)
+  w_scale_out/w_scale_<name>.txt         shift exponent  (-log2 scale)
+  q_bias_out/q_bias_<name>.txt, b_scale_out/b_scale_<name>.txt
+  q_weight_max/, max_weight_count/       overflow statistics
+  q_weight_reorder/<name>_bias_weight_q_bin   TM*TN-tiled int8 stream
+  a_scale_out/a_scale_<name>.txt + q_activation_* (when an input is given)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from ..ir import NetworkIR
+from .quant import QuantConfig, qrange, round_half_away
+
+
+def _shift_exponent(scale: float) -> float:
+    return -math.log2(scale) if scale > 0 else 0.0
+
+
+def reorder_weights(w_oihw: np.ndarray, TM: int, TN: int,
+                    linear: bool = False) -> np.ndarray:
+    """TM x TN tiled weight reorder matching the FPGA SRAM layout
+    (quantized_google.py:423-476): per (TM, TN) tile, K^2-major then TM, TN.
+    First-layer (Cin in {1, 3}) tiles are zero-padded to TN."""
+    O, I, kh, kw = w_oihw.shape
+    k2 = kh * kw
+    num_TM, rem_TM = divmod(O, TM)
+    num_TN, rem_TN = divmod(I, TN)
+    chunks = []
+    if linear:
+        for k in range(num_TN):
+            t = w_oihw[0:rem_TM, k * TN:(k + 1) * TN].reshape(rem_TM, TN, k2)
+            chunks.append(t.transpose(2, 0, 1).reshape(-1))
+    elif I in (1, 3):
+        for j in range(num_TM):
+            t = w_oihw[j * TM:(j + 1) * TM, num_TN * TN:num_TN * TN + rem_TN]
+            t = t.reshape(TM, rem_TN, k2)
+            fill = np.zeros((TM, TN, k2), t.dtype)
+            fill[:, :rem_TN] = t
+            chunks.append(fill.transpose(2, 0, 1).reshape(-1))
+    else:
+        for j in range(num_TM):
+            for k in range(num_TN):
+                t = w_oihw[j * TM:(j + 1) * TM, k * TN:(k + 1) * TN]
+                t = t.reshape(TM, TN, k2)
+                chunks.append(t.transpose(2, 0, 1).reshape(-1))
+    return np.concatenate(chunks) if chunks else np.zeros(0, w_oihw.dtype)
+
+
+def reorder_activations(a_chw: np.ndarray, TN: int,
+                        linear: bool = False) -> np.ndarray:
+    """Activation tile reorder (quantized_google.py:760-806): per TN channel
+    group, HWC-flattened."""
+    C = a_chw.shape[0]
+    num_TN, rem_TN = divmod(C, TN)
+    chunks = []
+    if linear:
+        t = a_chw[0:rem_TN]
+        chunks.append(t.transpose(1, 2, 0).reshape(-1))
+    else:
+        for k in range(num_TN):
+            t = a_chw[k * TN:(k + 1) * TN]
+            chunks.append(t.transpose(1, 2, 0).reshape(-1))
+    return np.concatenate(chunks) if chunks else np.zeros(0, a_chw.dtype)
+
+
+def _write_txt(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savetxt(path, np.asarray(arr).reshape(1, -1), delimiter='\n')
+
+
+def _write_bin(path, arr, dtype=np.int8):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.asarray(arr).astype(dtype).tofile(path)
+
+
+def dump_quantizer_output(bundle, x=None, outdir='./quantizer_output', *,
+                          reorder=False, TM=32, TN=32, layer_idx=-1):
+    """Dump per-layer quantized weights/biases (+activations if ``x`` given)
+    for hardware cross-checking. ``bundle`` is a quantized ModelBundle."""
+    from .quant import bn_fuse_weights
+    assert bundle.quantized, 'quantizer_output requires a quantized model'
+    cfg: QuantConfig = bundle.qcfg
+    net: NetworkIR = bundle.net
+    fused = bn_fuse_weights(net, bundle.params, bundle.state)
+    qmin_w, qmax_w = qrange(cfg.w_bits, True)
+
+    acts = None
+    if x is not None:
+        acts = collect_activations(bundle, x)
+
+    for lyr in net.layers:
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
+        if layer_idx != -1 and lyr.index != layer_idx:
+            continue
+        name = f'{lyr.index:04d}_conv'
+        w, b = fused[lyr.index]
+        qs = bundle.qstate[str(lyr.index)]
+        w_scale = float(np.asarray(qs['wq']['scale'])) if 'wq' in qs else 1.0
+        b_scale = float(np.asarray(qs['bq']['scale'])) if 'bq' in qs else 1.0
+        a_scale = float(np.asarray(qs['aq']['scale'])) if 'aq' in qs else 1.0
+
+        q_w = np.clip(np.sign(w / w_scale) * np.floor(np.abs(w / w_scale) + 0.5),
+                      qmin_w, qmax_w)
+        q_b = np.clip(np.sign(b / b_scale) * np.floor(np.abs(b / b_scale) + 0.5),
+                      qmin_w, qmax_w)
+        q_w_oihw = q_w.transpose(3, 2, 0, 1)          # HWIO -> OIHW
+
+        _write_txt(f'{outdir}/w_scale_out/w_scale_{name}.txt',
+                   [_shift_exponent(w_scale)])
+        _write_txt(f'{outdir}/b_scale_out/b_scale_{name}.txt',
+                   [_shift_exponent(b_scale)])
+        _write_txt(f'{outdir}/a_scale_out/a_scale_{name}.txt',
+                   [_shift_exponent(a_scale)])
+        _write_txt(f'{outdir}/q_weight_out/q_weight_{name}.txt', q_w_oihw)
+        _write_txt(f'{outdir}/q_bias_out/q_bias_{name}.txt', q_b)
+        _write_txt(f'{outdir}/q_weight_max/max_w_{name}.txt', [q_w_oihw.max()])
+        _write_txt(f'{outdir}/max_weight_count/max_w_count_{name}.txt',
+                   [int((np.abs(q_w_oihw) >= qmax_w).sum())])
+        if reorder:
+            rw = reorder_weights(q_w_oihw, TM, TN,
+                                 linear=(lyr.activation == 'linear'))
+            _write_txt(f'{outdir}/q_weight_reorder/w_reorder_{name}.txt', rw)
+            b_pad = np.zeros(2048, int)
+            b_pad[:q_b.size] = q_b.reshape(-1)
+            _write_txt(f'{outdir}/q_bias_reorder/q_b_reorder_{name}.txt', b_pad)
+            _write_bin(f'{outdir}/q_weight_reorder/{name}_bias_weight_q_bin',
+                       np.concatenate([b_pad, rw]))
+
+        if acts is not None and lyr.index in acts:
+            a = acts[lyr.index]                        # (h, w, c) float
+            q_a = np.clip(np.sign(a / a_scale) *
+                          np.floor(np.abs(a / a_scale) + 0.5),
+                          *qrange(cfg.a_bits, True))
+            q_a_chw = q_a.transpose(2, 0, 1)
+            _write_txt(f'{outdir}/q_activation_out/q_activation_{name}.txt',
+                       q_a_chw)
+            _write_txt(f'{outdir}/q_activation_max/q_a_max_{name}.txt',
+                       [q_a_chw.max()])
+            _write_txt(f'{outdir}/max_activation_count/max_a_count_{name}.txt',
+                       [int((np.abs(q_a_chw) >= (1 << (cfg.a_bits - 1)) - 1)
+                            .sum())])
+            if reorder:
+                ra = reorder_activations(q_a_chw, TN,
+                                         linear=(lyr.activation == 'linear'))
+                _write_txt(f'{outdir}/q_activation_reorder/a_reorder_{name}.txt',
+                           ra)
+                _write_bin(f'{outdir}/q_activation_reorder/{name}_activation_q_bin',
+                           ra)
+    return outdir
+
+
+def collect_activations(bundle, x):
+    """Run the quantized forward collecting each conv layer's post-activation
+    output (first batch element), host-side."""
+    import jax
+    outs = {}
+    net = bundle.net
+    # re-run apply capturing intermediates: cheap approach — evaluate layer by
+    # layer through the float graph is NOT equivalent; instead jit a capture
+    # variant once
+    from .quant import make_quant_apply
+
+    apply = bundle._apply
+    # trace with intermediate capture by monkey-free re-walk: use the
+    # training-mode signature (returns feature maps for Sequential layers)
+    (yolo_p, feats), _, _ = apply(bundle.params, bundle.state, bundle.qstate,
+                                  x, True)
+    conv_idx = [l.index for l in net.layers if l.feature_out]
+    for i, f in zip(conv_idx, feats):
+        outs[i] = np.asarray(f[0])
+    return outs
+
+
+def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
+                        TM=32, TN=32):
+    """convert_FPGA.py equivalent: packed int weight/bias streams + per-layer
+    shift exponents for every conv (convert_FPGA.py:41-158)."""
+    from .quant import bn_fuse_weights
+    cfg = bundle.qcfg
+    bits = cfg.w_bits if cfg else 8
+    dtype = np.int8 if bits <= 8 else np.int16
+    os.makedirs(outdir, exist_ok=True)
+    fused = bn_fuse_weights(bundle.net, bundle.params, bundle.state)
+    qmin, qmax = qrange(bits, True)
+
+    all_w, all_b = [], []
+    w_shifts, b_shifts, a_shifts = [], [], []
+    for lyr in bundle.net.layers:
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
+        k = str(lyr.index)
+        qs = (bundle.qstate or {}).get(k, {})
+        w_scale = float(np.asarray(qs.get('wq', {}).get('scale', 1.0)))
+        b_scale = float(np.asarray(qs.get('bq', {}).get('scale', 1.0)))
+        a_scale = float(np.asarray(qs.get('aq', {}).get('scale', 1.0)))
+        w, b = fused[lyr.index]
+        q_w = np.clip(np.sign(w / w_scale) * np.floor(np.abs(w / w_scale) + .5),
+                      qmin, qmax).transpose(3, 2, 0, 1)
+        q_b = np.clip(np.sign(b / b_scale) * np.floor(np.abs(b / b_scale) + .5),
+                      qmin, qmax)
+        if reorder:
+            q_w_flat = reorder_weights(q_w, TM, TN,
+                                       linear=(lyr.activation == 'linear'))
+        else:
+            q_w_flat = q_w.reshape(-1)
+        all_w.append(q_w_flat.astype(dtype))
+        all_b.append(q_b.reshape(-1).astype(dtype))
+        w_shifts.append(_shift_exponent(w_scale))
+        b_shifts.append(_shift_exponent(b_scale))
+        a_shifts.append(_shift_exponent(a_scale))
+
+    np.concatenate(all_w).tofile(os.path.join(outdir, 'weights.bin'))
+    np.concatenate(all_b).tofile(os.path.join(outdir, 'biases.bin'))
+    np.asarray(w_shifts, np.int8).tofile(os.path.join(outdir, 'w_scale.bin'))
+    np.asarray(b_shifts, np.int8).tofile(os.path.join(outdir, 'b_scale.bin'))
+    np.asarray(a_shifts, np.int8).tofile(os.path.join(outdir, 'a_scale.bin'))
+    return outdir
+
+
+def upsample_activation_dumps(outdir='./quantizer_output', scale=2):
+    """Offline nearest-upsample of dumped activations for upsample layers
+    (utils/output_upsample.py:9-89)."""
+    src_dir = os.path.join(outdir, 'q_activation_out')
+    dst_dir = os.path.join(outdir, 'q_activation_upsample')
+    if not os.path.isdir(src_dir):
+        return None
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in os.listdir(src_dir):
+        arr = np.loadtxt(os.path.join(src_dir, f))
+        np.savetxt(os.path.join(dst_dir, f),
+                   np.repeat(arr.reshape(1, -1), scale, axis=0).reshape(1, -1),
+                   delimiter='\n')
+    return dst_dir

@@ -39,7 +39,8 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              compute_dtype=jnp.bfloat16, fused=False, single_cls=False,
              is_gray_scale=False, save_json=False, verbose=False,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
-             maxabsscaler=False, loader=None, progress=True):
+             maxabsscaler=False, loader=None, progress=True,
+             quant_apply=None, qstate=None):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -52,14 +53,24 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     iouv = np.asarray(iouv, np.float64)
     niou = len(iouv)
 
-    apply = make_apply(net, compute_dtype=compute_dtype, fused=fused)
+    if quant_apply is not None:
+        @jax.jit
+        def infer(params, state, x):
+            io, _, _ = quant_apply(params, state, qstate, x, False)
+            return non_max_suppression(io, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, top_k=top_k,
+                                       max_det=max_det,
+                                       multi_label=multi_label)
+    else:
+        apply = make_apply(net, compute_dtype=compute_dtype, fused=fused)
 
-    @jax.jit
-    def infer(params, state, x):
-        io, _, _ = apply(params, state, x, train=False)
-        return non_max_suppression(io, conf_thres=conf_thres,
-                                   iou_thres=iou_thres, top_k=top_k,
-                                   max_det=max_det, multi_label=multi_label)
+        @jax.jit
+        def infer(params, state, x):
+            io, _, _ = apply(params, state, x, train=False)
+            return non_max_suppression(io, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, top_k=top_k,
+                                       max_det=max_det,
+                                       multi_label=multi_label)
 
     if loader is None:
         if dataset is None:

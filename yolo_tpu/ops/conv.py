@@ -33,13 +33,18 @@ def conv2d(x, w, *, stride=1, padding: int = 0, groups: int = 1,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     strides = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    # NOTE on dtypes: with bf16 operands the TPU MXU accumulates in f32 in
+    # hardware; forcing preferred_element_type=f32 here would make the conv
+    # VJP transpose see an f32 cotangent against bf16 weights (dtype-mismatch
+    # error), so the op runs in the compute dtype end-to-end and the result
+    # is upcast outside.
     out = lax.conv_general_dilated(
         x, w,
         window_strides=strides,
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None else jnp.float32,
     )
     return out.astype(orig_dtype)
 

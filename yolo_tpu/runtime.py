@@ -1,0 +1,158 @@
+"""Model loading / inference bundles — the user-facing runtime API.
+
+Plays the role of the reference's Darknet-constructor + weight-load
+boilerplate repeated in every script (train.py:111-186, test.py:30-50,
+detect.py:24-45): build IR, init pytrees, load .npz checkpoints or darknet
+.weights, optionally attach a quantization scheme, and hand back jitted
+apply/predict functions.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .compress.quant import QuantConfig, init_quant_state, make_quant_apply
+from .ir import NetworkIR, build_ir
+from .models.darknet_io import load_darknet_weights, save_darknet_weights
+from .models.network import fuse_params, init_params, make_apply
+from .ops.nms import non_max_suppression
+from .utils.checkpoint import load_checkpoint
+
+
+@dataclass
+class ModelBundle:
+    net: NetworkIR
+    params: Any
+    state: Any
+    qstate: Any = None
+    qcfg: QuantConfig | None = None
+    compute_dtype: Any = jnp.bfloat16
+    maxabsscaler: bool = False
+    _apply: Callable = field(default=None, repr=False)
+
+    @property
+    def quantized(self) -> bool:
+        return self.qcfg is not None
+
+    def apply(self, params, state, x, train=False, qstate=None):
+        if self.quantized:
+            return self._apply(params, state,
+                               qstate if qstate is not None else self.qstate,
+                               x, train)
+        return self._apply(params, state, x, train)
+
+    def anchor_vecs(self):
+        return [l.anchors / l.yolo_stride for l in self.net.layers
+                if l.kind == 'yolo']
+
+    @property
+    def strides(self):
+        return [l.yolo_stride for l in self.net.layers if l.kind == 'yolo']
+
+    @property
+    def nc(self):
+        return self.net.nc
+
+    def fuse(self):
+        """Conv+BN fusion for float inference (Darknet.fuse,
+        models.py:563-577). Returns a new bundle with fused params."""
+        fused = fuse_params(self.net, self.params, self.state)
+        apply = make_apply(self.net, compute_dtype=self.compute_dtype,
+                           maxabsscaler=self.maxabsscaler, fused=True)
+        return ModelBundle(net=self.net, params=fused, state={},
+                           compute_dtype=self.compute_dtype,
+                           maxabsscaler=self.maxabsscaler, _apply=apply)
+
+    def make_infer(self, conf_thres=0.3, iou_thres=0.6, top_k=512,
+                   max_det=300, multi_label=True, agnostic=False):
+        """Jitted full pipeline: forward + decode + batched NMS."""
+        if self.quantized:
+            def fn(params, state, qstate, x):
+                io, _, _ = self._apply(params, state, qstate, x, False)
+                return non_max_suppression(
+                    io, conf_thres=conf_thres, iou_thres=iou_thres,
+                    top_k=top_k, max_det=max_det, multi_label=multi_label,
+                    agnostic=agnostic)
+            jfn = jax.jit(fn)
+            return lambda x: jfn(self.params, self.state, self.qstate, x)
+        def fn(params, state, x):
+            io, _, _ = self._apply(params, state, x, False)
+            return non_max_suppression(
+                io, conf_thres=conf_thres, iou_thres=iou_thres, top_k=top_k,
+                max_det=max_det, multi_label=multi_label, agnostic=agnostic)
+        jfn = jax.jit(fn)
+        return lambda x: jfn(self.params, self.state, x)
+
+
+def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
+               w_bit: int = 8, shortcut_way: int = 1, steps: int = 0,
+               is_gray_scale: bool = False, maxabsscaler: bool = False,
+               compute_dtype=jnp.bfloat16, rng=None,
+               pt: bool = False) -> ModelBundle:
+    """Build + load a detector.
+
+    ``quantized``: -1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ (models.py:34-90).
+    ``weights``: .npz checkpoint or darknet .weights (auto-detected).
+    """
+    net = build_ir(cfg, is_gray_scale=is_gray_scale)
+    params, state = init_params(rng or jax.random.PRNGKey(0), net)
+
+    qcfg = None
+    qstate = None
+    if quantized != -1:
+        scheme = {1: 'google', 2: 'tpsq', 3: 'ptq_cos'}[quantized]
+        qcfg = QuantConfig(scheme=scheme, a_bits=a_bit, w_bits=w_bit,
+                           shortcut_way=shortcut_way,
+                           maxabsscaler=maxabsscaler, steps=steps)
+        qstate, extra = init_quant_state(net, qcfg)
+        for k, v in extra.items():
+            params[k] = {**params[k], **v}
+
+    if weights and weights not in ('None', ''):
+        if str(weights).endswith(('.npz',)):
+            ck = load_checkpoint(weights)
+            params = _merge_compatible(params, ck['params'])
+            state = _merge_compatible(state, ck['state'])
+        else:  # darknet binary
+            params, state, _, _ = load_darknet_weights(
+                net, params, state, weights, pt=pt, quant=(quantized != -1))
+
+    if qcfg is not None:
+        apply = make_quant_apply(net, qcfg, compute_dtype=compute_dtype)
+    else:
+        apply = make_apply(net, compute_dtype=compute_dtype,
+                           maxabsscaler=maxabsscaler)
+    return ModelBundle(net=net, params=params, state=state, qstate=qstate,
+                       qcfg=qcfg, compute_dtype=compute_dtype,
+                       maxabsscaler=maxabsscaler, _apply=apply)
+
+
+def _merge_compatible(dst, src):
+    """Load matching-shaped entries, skip the rest (reference's size-filtered
+    load_state_dict, train.py:160-166)."""
+    out = {k: dict(v) for k, v in dst.items()}
+    for k, d in (src or {}).items():
+        if k not in out:
+            out[k] = {f: jnp.asarray(v) for f, v in d.items()}
+            continue
+        for f, v in d.items():
+            if f not in out[k] or np.shape(out[k][f]) == np.shape(v):
+                out[k][f] = jnp.asarray(v)
+    return out
+
+
+def preprocess(imgs_uint8, maxabsscaler: bool = False):
+    """uint8 NHWC batch -> float input (reference /256 normalisation,
+    train.py:345-348; maxabs (-1,1) mode models.py:103)."""
+    x = jnp.asarray(imgs_uint8, jnp.float32) / 256.0
+    if maxabsscaler:
+        x = x * 2.0 - 1.0
+    return x

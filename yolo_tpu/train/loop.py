@@ -1,0 +1,257 @@
+"""The full training loop (reference train.py:56-595) on the jitted step.
+
+Host-side orchestration only: data prefetch, burn-in/LR scalars, multi-scale
+size selection (bucketed — each size is one cached XLA executable),
+per-epoch evaluation, results.txt, checkpoints. All math runs inside the two
+jitted programs from make_train_functions.
+
+DP parallelism: if a mesh is passed, batches are sharded over its 'data'
+axis and gradients all-reduce over ICI automatically (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_hyp, parse_data_cfg
+from ..data.datasets import BatchLoader, DetectionDataset
+from ..eval.evaluator import evaluate
+from ..eval.metrics import fitness
+from ..parallel import make_mesh, replicate, shard_batch
+from ..runtime import load_model, preprocess
+from ..train import kd as kd_mod
+from ..train.loss import LossHyp
+from ..train.schedules import burn_in_scalars
+from ..train.trainer import init_train_state, make_train_functions
+from ..utils.checkpoint import save_checkpoint
+from ..compress.prune import (prunable_sets_normal, prunable_sets_shortcut)
+from ..models.network import make_apply
+
+
+@dataclass
+class TrainOptions:
+    """Superset of the reference argparse flags (train.py:599-635)."""
+    cfg: str = 'cfg/yolov3/yolov3.cfg'
+    data: str = 'data_cfg/coco2014.data'
+    weights: str = ''
+    epochs: int = 300
+    batch_size: int = 16
+    img_size: tuple = (416, 416, 416)       # (min, max, test)
+    multi_scale: bool = False
+    rect: bool = False
+    cache_images: bool = False
+    single_cls: bool = False
+    adam: bool = False
+    ema: bool = True
+    prune: int = -1                          # -1 off, 0 normal, 1 shortcut, 2 layer
+    sparsity: float = 0.0                    # --s BN-gamma L1 strength
+    quantized: int = -1
+    a_bit: int = 8
+    w_bit: int = 8
+    shortcut_way: int = 1
+    maxabsscaler: bool = False
+    gray_scale: bool = False
+    pt: bool = False
+    t_cfg: str = ''                          # teacher cfg (KD)
+    t_weights: str = ''
+    kd_strategy: int = 1
+    notest: bool = False
+    nosave: bool = False
+    weights_dir: str = 'weights'
+    results_file: str = 'results.txt'
+    device_mesh: Any = None                  # jax Mesh for DP; None = single
+    max_targets: int = 0
+    image_weights: bool = False
+    hyp_path: str | None = None
+    seed: int = 0
+    log_fn: Any = print
+
+
+def run_training(opt: TrainOptions):
+    hyp = load_hyp(opt.hyp_path)
+    data_dict = parse_data_cfg(opt.data)
+    train_path = data_dict['train']
+    nc = 1 if opt.single_cls else int(data_dict['classes'])
+
+    imgsz_min, imgsz_max, imgsz_test = opt.img_size
+    gs = 32
+    assert imgsz_min % gs == 0
+    multi_scale = opt.multi_scale or (imgsz_min != imgsz_max)
+    if multi_scale and imgsz_min == imgsz_max:
+        imgsz_min, imgsz_max = int(imgsz_min // 1.5), int(imgsz_max // 0.667)
+    grid_min, grid_max = imgsz_min // gs, imgsz_max // gs
+    imgsz_min, imgsz_max = grid_min * gs, grid_max * gs
+    img_size = imgsz_max
+
+    n_train = sum(1 for _ in open(train_path))
+    steps = math.ceil(n_train / opt.batch_size) * opt.epochs
+
+    bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
+                        a_bit=opt.a_bit, w_bit=opt.w_bit,
+                        shortcut_way=opt.shortcut_way, steps=steps,
+                        is_gray_scale=opt.gray_scale,
+                        maxabsscaler=opt.maxabsscaler,
+                        compute_dtype=jnp.float32 if opt.quantized != -1
+                        else jnp.bfloat16, pt=opt.pt)
+    net = bundle.net
+    anchor_vecs = bundle.anchor_vecs()
+    loss_hyp = LossHyp.from_dict(hyp, nc=nc)
+
+    # sparse-training hook (train.py:242-265 + prune_utils updateBN):
+    # 0 = normal sets, 1 = shortcut sets, 2 = layer (shortcut-preceding CBLs)
+    sparse_layers: tuple[int, ...] = ()
+    if opt.prune == 0:
+        sparse_layers = tuple(prunable_sets_normal(net).prune_idx)
+    elif opt.prune == 1:
+        sparse_layers = tuple(prunable_sets_shortcut(net).prune_idx)
+    elif opt.prune == 2:
+        from ..compress.prune import prunable_sets_layer
+        sparse_layers = tuple(prunable_sets_layer(net)[2])
+
+    # KD teacher (train.py:113-119, 186-194)
+    kd_fn = None
+    if opt.t_cfg:
+        t_bundle = load_model(opt.t_cfg, opt.t_weights,
+                              compute_dtype=jnp.bfloat16)
+        t_apply = make_apply(t_bundle.net, compute_dtype=jnp.bfloat16)
+        kd_fn = kd_mod.make_kd_loss_fn(
+            opt.kd_strategy, t_apply, t_bundle.params, t_bundle.state, nc,
+            anchor_vecs, img_size=img_size, strides=bundle.strides)
+
+    # QAT: reference uses Adam and MultiStep schedule for quantized training
+    # (train.py:135-142, 196-202); the quant apply threads qstate.
+    quant_apply = bundle._apply if opt.quantized != -1 else None
+    use_adam = opt.adam or opt.quantized != -1
+
+    grad_fn, update_fn = make_train_functions(
+        net, anchor_vecs, nc=nc, hyp=loss_hyp,
+        optimizer='adam' if use_adam else 'sgd',
+        compute_dtype=jnp.bfloat16 if opt.quantized == -1 else jnp.float32,
+        sparsity_s=opt.sparsity if opt.prune != -1 else 0.0,
+        sparse_gamma_layers=sparse_layers, kd_loss_fn=kd_fn,
+        quant_apply=quant_apply)
+
+    ts = init_train_state(bundle.params, bundle.state,
+                          optimizer='adam' if use_adam else 'sgd',
+                          use_ema=opt.ema, qstate=bundle.qstate)
+    mesh = opt.device_mesh
+    if mesh is not None:
+        ts = replicate(mesh, ts)
+
+    dataset = DetectionDataset(
+        train_path, img_size, opt.batch_size, augment=True, hyp=hyp,
+        rect=opt.rect, cache_images=opt.cache_images,
+        is_gray_scale=opt.gray_scale, image_weights=opt.image_weights,
+        seed=opt.seed)
+    loader = BatchLoader(dataset, opt.batch_size,
+                         max_targets=opt.max_targets, shuffle=True,
+                         drop_last=True, seed=opt.seed)
+
+    nb = len(loader)
+    n_burn = max(3 * nb, 500)
+    os.makedirs(opt.weights_dir, exist_ok=True)
+    last = os.path.join(opt.weights_dir, 'last.npz')
+    best = os.path.join(opt.weights_dir, 'best.npz')
+    results = (0, 0, 0, 0, 0, 0, 0)
+    best_fitness = 0.0
+    maps = np.zeros(nc)
+    t0 = time.time()
+    rnd = random.Random(opt.seed)
+    log = opt.log_fn
+
+    log(f'Image sizes {imgsz_min} - {imgsz_max} train, {imgsz_test} test')
+    log(f'Starting training for {opt.epochs} epochs '
+        f'({nb} batches/epoch, burn-in {n_burn})...')
+
+    ni = 0
+    loss_scale = opt.batch_size / 64.0
+    for epoch in range(opt.epochs):
+        if dataset.image_weights:
+            dataset.update_image_weights(nc, maps)
+        mloss = np.zeros(4)
+        cur_size = img_size
+        for i, (imgs, tgt, valid, paths, shapes) in enumerate(loader):
+            ni = i + nb * epoch
+            scalars, gr, accumulate = burn_in_scalars(
+                ni, n_burn, epoch, lr0=hyp['lr0'], momentum=hyp['momentum'],
+                weight_decay=hyp['weight_decay'], epochs=opt.epochs,
+                batch_size=opt.batch_size, quantized=(opt.quantized != -1),
+                adam=opt.adam)
+
+            x = preprocess(imgs, opt.maxabsscaler)
+            if multi_scale:
+                # bucketed size change every accumulate steps (train.py:367-374)
+                if (ni / max(accumulate, 1)) % 1 == 0:
+                    cur_size = rnd.randrange(grid_min, grid_max + 1) * gs
+                if cur_size != x.shape[1]:
+                    x = jax.image.resize(
+                        x, (x.shape[0], cur_size, cur_size, x.shape[3]),
+                        method='bilinear')
+
+            if mesh is not None:
+                x = shard_batch(mesh, np.asarray(x))
+            ts, items = grad_fn(ts, x, jnp.asarray(tgt), jnp.asarray(valid),
+                                gr, loss_scale)
+            if int(ts.accum_count) >= accumulate:
+                ts = update_fn(ts, scalars)
+            items = np.asarray(items)
+            if not np.isfinite(items).all():
+                log(f'WARNING: non-finite loss, ending training {items}')
+                return results
+            mloss = (mloss * i + items) / (i + 1)
+            if i % max(nb // 10, 1) == 0:
+                log(f'  epoch {epoch}/{opt.epochs - 1} batch {i}/{nb} '
+                    f'giou {mloss[0]:.3g} obj {mloss[1]:.3g} '
+                    f'cls {mloss[2]:.3g} total {mloss[3]:.3g} '
+                    f'targets {int(np.asarray(valid).sum())} size {cur_size}')
+
+        # epoch end: eval + checkpoint (train.py:505-573)
+        final_epoch = epoch + 1 == opt.epochs
+        eval_params = ts.ema.params if (opt.ema and ts.ema is not None) else ts.params
+        eval_state = ts.ema.state if (opt.ema and ts.ema is not None) else ts.bn_state
+        if not opt.notest or final_epoch:
+            results, maps, _ = evaluate(
+                net, jax.device_get(eval_params), jax.device_get(eval_state),
+                opt.data, batch_size=max(opt.batch_size // 4, 1),
+                img_size=imgsz_test, is_gray_scale=opt.gray_scale,
+                multi_label=ni > n_burn, maxabsscaler=opt.maxabsscaler,
+                single_cls=opt.single_cls, quant_apply=quant_apply,
+                qstate=None if ts.qstate is None else jax.device_get(ts.qstate))
+
+        with open(opt.results_file, 'a') as f:
+            f.write(('%10.4g' * 12 + '\n') % (epoch, *mloss, *results))
+
+        fi = float(fitness(np.array(results).reshape(1, -1))[0])
+        if fi > best_fitness:
+            best_fitness = fi
+        if not opt.nosave:
+            training_results = Path(opt.results_file).read_text() \
+                if os.path.exists(opt.results_file) else ''
+            save_checkpoint(last, params=jax.device_get(ts.params),
+                            state=jax.device_get(ts.bn_state), epoch=epoch,
+                            best_fitness=best_fitness,
+                            training_results=training_results,
+                            opt_state=None if final_epoch
+                            else jax.device_get(ts.opt_state),
+                            ema=None if ts.ema is None
+                            else jax.device_get(ts.ema.params))
+            if best_fitness == fi and not final_epoch:
+                save_checkpoint(best, params=jax.device_get(ts.params),
+                                state=jax.device_get(ts.bn_state),
+                                epoch=epoch, best_fitness=best_fitness,
+                                training_results=training_results)
+
+    log(f'{opt.epochs} epochs completed in {(time.time() - t0) / 3600:.3f} '
+        f'hours.')
+    return results

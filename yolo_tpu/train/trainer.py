@@ -32,17 +32,19 @@ class TrainState(NamedTuple):
     ema: EMAState | None
     grad_accum: Any         # accumulated grads pytree (zeros between bursts)
     accum_count: jnp.ndarray
+    qstate: Any = None      # quantizer state (QAT paths only)
 
 
 def init_train_state(params, bn_state, *, optimizer: str = 'sgd',
-                     use_ema: bool = True) -> TrainState:
+                     use_ema: bool = True, qstate=None) -> TrainState:
     opt_init = sgd_init if optimizer == 'sgd' else adam_init
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     return TrainState(params=params, bn_state=bn_state,
                       opt_state=opt_init(params),
                       ema=ema_init(params, bn_state) if use_ema else None,
                       grad_accum=zeros,
-                      accum_count=jnp.zeros((), jnp.int32))
+                      accum_count=jnp.zeros((), jnp.int32),
+                      qstate=qstate)
 
 
 def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
@@ -51,7 +53,8 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
                          sparsity_s: float = 0.0,
                          sparse_gamma_layers: tuple[int, ...] = (),
                          kd_loss_fn: Callable | None = None,
-                         remat: bool = False):
+                         remat: bool = False,
+                         quant_apply: Callable | None = None):
     """Build (grad_fn, update_fn) jittables.
 
     grad_fn(state, imgs, targets, valid, gr, loss_scale [, t_args])
@@ -64,26 +67,35 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
     ``kd_loss_fn(yolo_p, feats, targets, valid, imgs) -> scalar`` lets the
     caller add a distillation term (train.py:389-435).
     """
-    apply = make_apply(net, compute_dtype=compute_dtype)
-    if remat:
-        apply = jax.checkpoint(apply, static_argnums=(3,))
-    labels = None  # built lazily from the first state
+    if quant_apply is not None:
+        apply = quant_apply            # QAT path: signature takes qstate too
+    else:
+        apply = make_apply(net, compute_dtype=compute_dtype)
+        if remat:
+            apply = jax.checkpoint(apply, static_argnums=(3,))
 
-    def loss_fn(params, bn_state, imgs, targets, valid, gr):
-        (yolo_p, feats), new_bn = apply(params, bn_state, imgs, True)
+    def loss_fn(params, bn_state, qstate, imgs, targets, valid, gr):
+        if quant_apply is not None:
+            (yolo_p, feats), new_bn, new_q = apply(params, bn_state, qstate,
+                                                   imgs, True)
+        else:
+            (yolo_p, feats), new_bn = apply(params, bn_state, imgs, True)
+            new_q = qstate
         loss, items = compute_loss(yolo_p, targets, valid, anchor_vecs, nc,
                                    hyp, gr)
         if kd_loss_fn is not None:
             loss = loss + kd_loss_fn(yolo_p, feats, targets, valid, imgs)
-        return loss, (items, new_bn)
+        return loss, (items, new_bn, new_q)
 
     @jax.jit
     def grad_fn(state: TrainState, imgs, targets, valid, gr, loss_scale):
         def scaled(params):
-            loss, aux = loss_fn(params, state.bn_state, imgs, targets, valid, gr)
+            loss, aux = loss_fn(params, state.bn_state, state.qstate, imgs,
+                                targets, valid, gr)
             return loss * loss_scale, aux  # loss *= bs/64 (train.py:437)
 
-        grads, (items, new_bn) = jax.grad(scaled, has_aux=True)(state.params)
+        grads, (items, new_bn, new_q) = jax.grad(scaled, has_aux=True)(
+            state.params)
 
         if sparsity_s > 0 and sparse_gamma_layers:
             for li in sparse_gamma_layers:
@@ -93,8 +105,10 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
                         sparsity_s * jnp.sign(state.params[k]['gamma'])
 
         acc = jax.tree_util.tree_map(jnp.add, state.grad_accum, grads)
+        new_q = jax.lax.stop_gradient(new_q) if new_q is not None else None
         return state._replace(bn_state=new_bn, grad_accum=acc,
-                              accum_count=state.accum_count + 1), items
+                              accum_count=state.accum_count + 1,
+                              qstate=new_q), items
 
     opt_update = sgd_update if optimizer == 'sgd' else adam_update
 
