@@ -1,0 +1,160 @@
+"""Aux subsystem tests: anchors, evolution, legacy quantizers, TTA, plots,
+checkpointing, profiling."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_tpu.compress import quant_legacy as QL
+from yolo_tpu.train.evolve import (HYP_KEYS, mutate_hyp, print_mutation,
+                                   plot_evolution_results)
+from yolo_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                       strip_optimizer)
+
+
+def test_kmean_anchors(tmp_path):
+    import cv2
+    (tmp_path / 'images').mkdir()
+    (tmp_path / 'labels').mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        img = np.zeros((200, 300, 3), np.uint8)
+        p = tmp_path / 'images' / f'i{i}.jpg'
+        cv2.imwrite(str(p), img)
+        rows = []
+        for _ in range(5):
+            w, h = rng.uniform(0.05, 0.5, 2)
+            rows.append(f'0 0.5 0.5 {w} {h}')
+        (tmp_path / 'labels' / f'i{i}.txt').write_text('\n'.join(rows))
+        paths.append(str(p))
+    lst = tmp_path / 'train.txt'
+    lst.write_text('\n'.join(paths))
+
+    from yolo_tpu.utils.anchors import kmean_anchors
+    k = kmean_anchors(str(lst), n=4, img_size=(320, 320), gen=50,
+                      verbose=False, rng=np.random.default_rng(0))
+    assert k.shape == (4, 2)
+    assert (k > 0).all()
+    areas = k.prod(1)
+    assert (np.diff(areas) >= 0).all()  # sorted small->large
+
+
+def test_evolution_cycle(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.config import DEFAULT_HYP
+    hyp = dict(DEFAULT_HYP)
+    results = (0.5, 0.5, 0.3, 0.4, 1.0, 2.0, 0.5)
+    print_mutation(hyp, results)
+    assert os.path.exists('evolve.txt')
+    hyp2 = mutate_hyp(hyp, rng=np.random.default_rng(0))
+    assert set(HYP_KEYS) <= set(hyp2)
+    assert 1e-5 <= hyp2['lr0'] <= 1e-2
+    # second generation uses the recorded parent
+    print_mutation(hyp2, (0.6, 0.6, 0.5, 0.5, 1.0, 1.0, 0.5))
+    rows = np.loadtxt('evolve.txt', ndmin=2)
+    assert rows.shape[0] == 2
+    assert plot_evolution_results(hyp2) == 'evolve.png'
+
+
+def test_dorefa_weight_range():
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 4).astype(np.float32))
+    q = np.asarray(QL.dorefa_weight(w, 4))
+    assert q.min() >= -1 and q.max() <= 1
+    levels = np.unique(np.round((q + 1) / 2 * 15, 5))
+    assert len(levels) <= 16
+    # STE gradient passes through
+    g = jax.grad(lambda w: jnp.sum(QL.dorefa_weight(w, 4)))(w)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dorefa_activation():
+    x = jnp.asarray(np.linspace(-1, 2, 50, dtype=np.float32))
+    q = np.asarray(QL.dorefa_activation(x, 2))
+    assert q.min() >= 0 and q.max() <= 1
+    assert len(np.unique(q)) <= 4
+
+
+def test_binary_ternary():
+    w = jnp.asarray(np.random.RandomState(1).randn(32).astype(np.float32))
+    b = np.asarray(QL.binary_weight(w))
+    assert set(np.unique(b)) <= {-1.0, 1.0}
+    bw = np.asarray(QL.bwn_weight(w))
+    assert len(np.unique(np.round(np.abs(bw), 5))) == 1
+    t = np.asarray(QL.ternary_weight(w))
+    assert len(np.unique(t)) <= 3
+
+
+def test_minmax_ptq():
+    x = jnp.asarray(np.random.RandomState(2).randn(1000).astype(np.float32))
+    y = np.asarray(QL.minmax_ptq(x, 8))
+    assert np.abs(y - np.asarray(x)).max() < 0.05
+
+
+def test_tta_augmented_apply(repo_root):
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import (init_params, make_apply,
+                                         make_augmented_apply)
+    net = build_ir(f'{repo_root}/cfg/yolov3tiny/yolov3-tiny.cfg')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3)) * 0.2 + 0.5
+    aug = make_augmented_apply(net, compute_dtype=None)
+    io = aug(params, state, x)
+    base, _, _ = make_apply(net, compute_dtype=None)(params, state, x, False)
+    assert io.shape[1] > base.shape[1]   # three merged views
+    assert np.isfinite(np.asarray(io)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {'0': {'w': np.arange(12, dtype=np.float32).reshape(3, 4)}}
+    state = {'0': {'mean': np.zeros(4, np.float32)}}
+    opt_state = {'m': {'0': {'w': np.ones((3, 4), np.float32)}}}
+    path = tmp_path / 'ck.npz'
+    save_checkpoint(path, params=params, state=state, epoch=7,
+                    best_fitness=0.5, training_results='hello',
+                    opt_state=opt_state)
+    ck = load_checkpoint(path)
+    np.testing.assert_array_equal(ck['params']['0']['w'], params['0']['w'])
+    assert ck['epoch'] == 7 and ck['best_fitness'] == 0.5
+    assert ck['training_results'] == 'hello'
+    assert 'opt_state' in ck
+    strip_optimizer(path)
+    ck2 = load_checkpoint(path)
+    assert 'opt_state' not in ck2
+
+
+def test_plot_images(tmp_path):
+    from yolo_tpu.utils.plots import plot_images
+    imgs = np.random.RandomState(0).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    targets = np.array([[0, 1, 0.5, 0.5, 0.3, 0.3],
+                        [2, 0, 0.4, 0.6, 0.2, 0.2]], np.float32)
+    out = plot_images(imgs, targets, fname=str(tmp_path / 'm.jpg'),
+                      names=['a', 'b'])
+    assert out.ndim == 3 and os.path.exists(tmp_path / 'm.jpg')
+
+
+def test_downloads_stub(tmp_path):
+    from yolo_tpu.utils.downloads import attempt_download
+    f = tmp_path / 'x.weights'
+    f.write_bytes(b'123')
+    assert attempt_download(str(f)) == str(f)
+    with pytest.raises(FileNotFoundError):
+        attempt_download(str(tmp_path / 'yolov3.weights'))
+
+
+def test_fpga_reorder_shapes():
+    from yolo_tpu.compress.fpga_export import (reorder_activations,
+                                               reorder_weights)
+    w = np.arange(64 * 64 * 9).reshape(64, 64, 3, 3).astype(np.int8)
+    r = reorder_weights(w, TM=32, TN=32)
+    assert r.size == w.size
+    # first-layer path zero-pads Cin to TN
+    w3 = np.ones((32, 3, 3, 3), np.int8)
+    r3 = reorder_weights(w3, TM=32, TN=32)
+    assert r3.size == 32 * 32 * 9
+    a = np.arange(64 * 4 * 4).reshape(64, 4, 4).astype(np.int8)
+    ra = reorder_activations(a, TN=32)
+    assert ra.size == a.size

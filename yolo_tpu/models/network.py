@@ -225,6 +225,41 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
     return apply
 
 
+def scale_img(x, ratio: float, same_shape: bool = False, gs: int = 64):
+    """Bilinear scale + pad with the imagenet-mean grey 0.447
+    (reference utils/torch_utils.py:131-139). NHWC."""
+    if ratio == 1.0:
+        return x
+    b, h, w, c = x.shape
+    nh, nw = int(h * ratio), int(w * ratio)
+    y = jax.image.resize(x, (b, nh, nw, c), method='bilinear')
+    if not same_shape:
+        h, w = (math.ceil(h * ratio / gs) * gs, math.ceil(w * ratio / gs) * gs)
+    pad_h, pad_w = max(h - nh, 0), max(w - nw, 0)
+    return jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                   constant_values=0.447)
+
+
+def make_augmented_apply(net: ir_mod.NetworkIR, **kw):
+    """Test-time augmentation: original + lr-flip@0.83 + 0.67 scale, merged
+    detections (reference Darknet.forward augment path, models.py:482-506)."""
+    apply = make_apply(net, **kw)
+
+    def aug_apply(params, state, x):
+        img_w = x.shape[2]
+        io0, _, _ = apply(params, state, x, train=False)
+        x1 = scale_img(jnp.flip(x, axis=2), 0.83)
+        io1, _, _ = apply(params, state, x1, train=False)
+        io1 = io1.at[..., :4].divide(0.83)
+        io1 = io1.at[..., 0].set(img_w - io1[..., 0])   # un-flip x centres
+        x2 = scale_img(x, 0.67)
+        io2, _, _ = apply(params, state, x2, train=False)
+        io2 = io2.at[..., :4].divide(0.67)
+        return jnp.concatenate([io0, io1, io2], axis=1)
+
+    return aug_apply
+
+
 def fuse_params(net: ir_mod.NetworkIR, params, state):
     """Fold BN into conv weights for inference (Darknet.fuse,
     models.py:563-577). Returns a fused params pytree for make_apply(fused=True)."""
