@@ -96,3 +96,45 @@ def test_nms_empty():
     pred = np.zeros((1, 16, 8), np.float32)
     out = to_host_detections(non_max_suppression(jnp.asarray(pred)))
     assert out[0] is None
+
+
+def test_nms_fixpoint_equals_sequential_greedy():
+    """The iterative-fixpoint suppression must match plain sequential greedy
+    NMS on random boxes (chains included)."""
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = 60
+        centers = rng.uniform(50, 450, (n, 2))
+        sizes = rng.uniform(20, 120, (n, 2))
+        obj = rng.uniform(0.2, 1.0, n)
+        pred = np.zeros((n, 6), np.float32)   # nc=1
+        pred[:, 0:2] = centers
+        pred[:, 2:4] = sizes
+        pred[:, 4] = obj
+        pred[:, 5] = 1.0
+
+        out = to_host_detections(non_max_suppression(
+            jnp.asarray(pred[None]), conf_thres=0.1, iou_thres=0.5,
+            top_k=64, max_det=64, merge=False, multi_label=False))
+
+        # numpy sequential greedy on the same candidate ordering
+        order = np.argsort(-obj)
+        boxes = np.stack([centers[:, 0] - sizes[:, 0] / 2,
+                          centers[:, 1] - sizes[:, 1] / 2,
+                          centers[:, 0] + sizes[:, 0] / 2,
+                          centers[:, 1] + sizes[:, 1] / 2], 1)
+
+        def iou(a, b):
+            lt = np.maximum(a[:2], b[:2]); rb = np.minimum(a[2:], b[2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            area = lambda x: (x[2] - x[0]) * (x[3] - x[1])
+            return inter / (area(a) + area(b) - inter + 1e-16)
+
+        kept = []
+        for i in order:
+            if all(iou(boxes[i], boxes[j]) <= 0.5 for j in kept):
+                kept.append(i)
+        expect = np.sort(obj[kept])[::-1]
+        got = np.sort(out[0][:, 4])[::-1] if out[0] is not None else np.zeros(0)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, err_msg=f'trial {trial}')

@@ -119,7 +119,11 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         yolo_p = []
         feature_out = []
         new_state = {}
-        prev = x
+        # inference keeps activations in the compute dtype end-to-end (HBM
+        # bandwidth); training keeps f32 activations for exact BN statistics
+        # (convs still run bf16 internally via ops/conv.py)
+        prev = x if (train or compute_dtype is None) \
+            else x.astype(compute_dtype)
 
         for lyr in layers:
             k = str(lyr.index)
@@ -140,7 +144,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                             y, p['gamma'], p['beta'], state[k]['mean'],
                             state[k]['var'], CONV_BN_EPS)
                 elif 'b' in p:
-                    y = y + p['b']
+                    y = y + p['b'].astype(y.dtype)
                 y = act_mod.get(lyr.activation, maxabsscaler)(y)
                 prev = y
 
@@ -217,7 +221,9 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         yi = 0
         for lyr in layers:
             if lyr.kind == 'yolo':
-                ios.append(decode_yolo(yolo_p[yi], lyr.anchors, lyr.yolo_stride))
+                # decode in f32 regardless of compute dtype (box precision)
+                ios.append(decode_yolo(yolo_p[yi].astype(jnp.float32),
+                                       lyr.anchors, lyr.yolo_stride))
                 yi += 1
         io = jnp.concatenate(ios, axis=1)
         return io, yolo_p, feature_out

@@ -50,9 +50,12 @@ def conv2d(x, w, *, stride=1, padding: int = 0, groups: int = 1,
 
 
 def batch_norm_infer(x, gamma, beta, mean, var, eps: float = 1e-5):
-    """Inference-mode BN (running statistics)."""
+    """Inference-mode BN (running statistics). The scale/shift are computed
+    in f32 then cast to the activation dtype so bf16 activations stay bf16
+    (no f32 round-trip through HBM)."""
     scale = gamma * lax.rsqrt(var + eps)
-    return x * scale + (beta - mean * scale)
+    shift = beta - mean * scale
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def batch_norm_train(x, gamma, beta, running_mean, running_var,

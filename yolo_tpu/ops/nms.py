@@ -27,7 +27,7 @@ MIN_WH, MAX_WH = 2.0, 4096.0  # box constraints (reference utils/utils.py:791)
 
 
 def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
-                agnostic, merge):
+                agnostic, merge, max_sweeps):
     """NMS for one image. pred: (N, 5 + nc) decoded xywh/obj/cls."""
     nc = pred.shape[1] - 5
     box_xywh = pred[:, :4]
@@ -38,17 +38,24 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
     finite_ok = jnp.all(jnp.isfinite(pred), axis=1)
     base_ok = wh_ok & finite_ok & (obj > conf_thres)
 
-    scores = cls * obj[:, None]                    # (N, nc) combined conf
+    # Stage 1: pre-select boxes by objectness — a top-k over N instead of
+    # N * nc (the obj>conf prefilter of utils/utils.py:800; score = obj*cls
+    # <= obj, so high-score pairs live in high-obj boxes).
+    n = obj.shape[0]
+    box_k = min(max(4 * top_k, 256), n)
+    obj_top, box_sel = lax.top_k(jnp.where(base_ok, obj, 0.0), box_k)
+
+    # Stage 2: multi-label (box, class) pairs among survivors only.
+    scores = cls[box_sel] * obj_top[:, None]           # (box_k, nc)
     if not (multi_label and nc > 1):
         best = jnp.max(scores, axis=1, keepdims=True)
         scores = jnp.where(scores == best, scores, 0.0)
-    scores = jnp.where(base_ok[:, None] & (scores > conf_thres), scores, 0.0)
+    scores = jnp.where(scores > conf_thres, scores, 0.0)
 
-    # top-k over flattened (box, class) pairs — the candidate set
     flat = scores.reshape(-1)
     k = min(top_k, flat.shape[0])
     cand_scores, cand_idx = lax.top_k(flat, k)
-    box_idx = cand_idx // nc
+    box_idx = box_sel[cand_idx // nc]
     cls_idx = (cand_idx % nc).astype(jnp.float32)
     valid = cand_scores > conf_thres
 
@@ -57,12 +64,25 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
     oboxes = boxes + offset[:, None]               # class-offset for batched NMS
 
     iou = box_iou_matrix(oboxes, oboxes)
+    # strict-upper-triangular suppression graph: earlier (higher-scored)
+    # boxes suppress later ones
+    tri = (iou > iou_thres) & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
 
-    def body(i, keep):
-        suppress = (iou[i] > iou_thres) & (jnp.arange(k) > i) & keep[i] & keep
-        return keep & ~suppress
+    # Iterative fixpoint of keep[j] = valid[j] & !any_i(tri[i,j] & keep[i]).
+    # Each sweep propagates suppression one chain level deeper; the fixpoint
+    # equals the sequential greedy-NMS result, but each sweep is one dense
+    # (k, k) reduction on the MXU instead of k serial steps.
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < max_sweeps) & jnp.any(keep != prev)
 
-    keep = lax.fori_loop(0, k, body, valid)
+    def body(carry):
+        keep, _, it = carry
+        suppressed = jnp.any(tri & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32)))
 
     if merge:
         # weighted mean over ALL candidates with iou > thres
@@ -84,15 +104,20 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
 
 @partial(jax.jit, static_argnames=('conf_thres', 'iou_thres', 'top_k',
                                    'max_det', 'multi_label', 'agnostic',
-                                   'merge'))
+                                   'merge', 'max_sweeps'))
 def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
                         top_k: int = 512, max_det: int = 300,
                         multi_label: bool = True, agnostic: bool = False,
-                        merge: bool = True):
-    """Batched NMS. pred: (bs, N, 5 + nc) -> (bs, max_det, 6)."""
+                        merge: bool = True, max_sweeps: int = 16):
+    """Batched NMS. pred: (bs, N, 5 + nc) -> (bs, max_det, 6).
+
+    ``max_sweeps`` bounds the fixpoint iteration; each sweep resolves one
+    more level of suppression chains, so the result is exactly greedy NMS
+    whenever chains are shorter than the cap (always true for trained
+    detectors; raise it for adversarial inputs)."""
     fn = partial(_nms_single, conf_thres=conf_thres, iou_thres=iou_thres,
                  top_k=top_k, max_det=max_det, multi_label=multi_label,
-                 agnostic=agnostic, merge=merge)
+                 agnostic=agnostic, merge=merge, max_sweeps=max_sweeps)
     return jax.vmap(fn)(pred)
 
 
