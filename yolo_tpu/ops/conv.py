@@ -120,6 +120,37 @@ def se_block(x, fc1_w, fc2_w):
     return x * y[:, None, None, :]
 
 
+def mixconv2d(x, weights: list, *, stride: int = 1,
+              compute_dtype=jnp.bfloat16):
+    """MixConv: mixed-kernel-size grouped convolution
+    (reference utils/layers.py:75-100, unused by the zoo cfgs).
+
+    ``weights``: list of HWIO kernels with odd sizes; outputs concatenate
+    along channels; each branch uses 'same' padding k//2."""
+    outs = []
+    for w in weights:
+        k = w.shape[0]
+        outs.append(conv2d(x, w, stride=stride, padding=k // 2,
+                           compute_dtype=compute_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def mixconv_channel_split(out_ch: int, ks=(3, 5, 7), method='equal_params'):
+    """Per-branch channel counts (layers.py:80-89): 'equal_ch' splits
+    channels evenly; 'equal_params' solves for equal parameter count."""
+    import numpy as np
+    groups = len(ks)
+    if method == 'equal_ch':
+        i = np.floor(np.linspace(0, groups - 1e-6, out_ch))
+        return [int((i == g).sum()) for g in range(groups)]
+    b = [out_ch] + [0] * groups
+    a = np.eye(groups + 1, groups, k=-1)
+    a -= np.roll(a, 1, axis=1)
+    a *= np.array(ks) ** 2
+    a[0] = 1
+    return np.linalg.lstsq(a, b, rcond=None)[0].round().astype(int).tolist()
+
+
 def fuse_conv_bn(w, b, gamma, beta, mean, var, eps: float = 1e-5):
     """Fold BN into conv weights/bias for inference
     (reference utils/torch_utils.py:65-89, Darknet.fuse models.py:563-577).

@@ -209,6 +209,61 @@ def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
     return lcls * Lambda_cls + lbox * Lambda_box + lfeat * Lambda_feature
 
 
+def kd6(output_s, output_t, targets, valid, anchor_vecs, nc: int,
+        batch_size: int, iou_t: float = 0.2):
+    """Fine-grained OUTPUT masking (compute_lost_KD6, utils/utils.py:670-688,
+    unused upstream): zero all raw outputs except assigned (b, a, gj, gi)
+    cells, then global KLDiv over rows of 3*(nc+5)."""
+    Lambda_feature = 0.001
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    rows_s, rows_t = [], []
+    for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
+        bs, na, ny, nx, no = ps_raw.shape
+        mask = jnp.zeros((bs, na, ny, nx), ps_raw.dtype)
+        b_w = jnp.where(lt.mask.reshape(-1), lt.b.reshape(-1), bs)
+        mask = mask.at[b_w, lt.a.reshape(-1),
+                       jnp.clip(lt.gj.reshape(-1), 0, ny - 1),
+                       jnp.clip(lt.gi.reshape(-1), 0, nx - 1)].set(
+            1.0, mode='drop')
+        rows_s.append((ps_raw * mask[..., None]).reshape(-1, na * no))
+        rows_t.append((pt_raw * mask[..., None]).reshape(-1, na * no))
+    s = jnp.concatenate(rows_s, axis=0)
+    t = jnp.concatenate(rows_t, axis=0)
+    return _soft_kl(s, t) / batch_size * Lambda_feature
+
+
+def failure_case_loss_fm(masks, imgs, targets, valid):
+    """FenceMask auxiliary loss (Failure_Case_Loss_FM, utils/utils.py:691-722,
+    unused upstream): balance masked-pixel fraction inside vs outside GT
+    boxes + KLDiv between masked and original images.
+
+    masks/imgs: (bs, h, w, c); targets: padded (T, 6) + valid mask."""
+    if masks is None:
+        return jnp.zeros(())
+    bs, h, w, _ = imgs.shape
+    pbi = jnp.mean(masks[..., 0], axis=(1, 2)).sum()
+
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
+    b = targets[:, 0].astype(jnp.int32)
+    x1 = (targets[:, 2] - targets[:, 4] / 2) * w
+    x2 = (targets[:, 2] + targets[:, 4] / 2) * w
+    y1 = (targets[:, 3] - targets[:, 5] / 2) * h
+    y2 = (targets[:, 3] + targets[:, 5] / 2) * h
+    inside = ((gx >= x1[:, None, None]) & (gx < x2[:, None, None]) &
+              (gy >= y1[:, None, None]) & (gy < y2[:, None, None]))
+    m_per_img = jnp.mean(masks, axis=-1)                         # (bs, h, w)
+    m_t = m_per_img[jnp.clip(b, 0, bs - 1)]                      # (T, h, w)
+    area = jnp.maximum(jnp.sum(inside, axis=(1, 2)), 1)
+    pbo = jnp.sum(jnp.sum(m_t * inside, axis=(1, 2)) / area * valid)
+    f_loss = jnp.abs(pbi - pbo) / bs
+
+    fm = jax.nn.log_softmax((masks * imgs).reshape(bs, -1), axis=-1)
+    om = jax.nn.softmax(imgs.reshape(bs, -1), axis=-1)
+    d_loss = _kl_div_sum(fm, om)
+    return f_loss + d_loss
+
+
 def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
                     anchor_vecs, img_size: int = 416,
                     strides: Sequence[int] = (32, 16, 8)):
@@ -234,6 +289,8 @@ def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
         if strategy == 5:
             return kd5(yolo_p, t_yolo, feats, t_feats, targets, valid,
                        anchor_vecs, nc, bs, img_size, strides)
+        if strategy == 6:
+            return kd6(yolo_p, t_yolo, targets, valid, anchor_vecs, nc, bs)
         raise ValueError(f'unknown KD strategy {strategy}')
 
     return kd_loss_fn

@@ -128,3 +128,51 @@ def adam_update(params, grads, opt_state: AdamState, labels,
     return (jax.tree_util.tree_unflatten(treedef, new_p),
             AdamState(step=t, m=jax.tree_util.tree_unflatten(treedef, new_m),
                       v=jax.tree_util.tree_unflatten(treedef, new_v)))
+
+
+def adabound_init(params) -> AdamState:
+    """AdaBound shares Adam's state shape (utils/adabound.py)."""
+    return adam_init(params)
+
+
+def adabound_update(params, grads, opt_state: AdamState, labels,
+                    scalars: PerGroupScalars, *, base_lr: float,
+                    final_lr: float = 0.1, gamma: float = 1e-3,
+                    b1=0.9, b2=0.999, eps=1e-8):
+    """AdaBound (utils/adabound.py:60-120): Adam with per-element step size
+    clamped into [lower, upper] bounds that converge to final_lr — smoothly
+    transitions Adam -> SGD. Kept for parity (the reference defines but never
+    selects it)."""
+    t = opt_state.step + 1
+    tf = t.astype(jnp.float32)
+    bc1 = 1 - b1 ** tf
+    bc2 = 1 - b2 ** tf
+
+    def upd(p, g, m, v, lab):
+        lr = scalars.lr[lab]
+        wd = scalars.weight_decay[lab]
+        g = g + wd * p
+        m_new = b1 * m + (1 - b1) * g
+        v_new = b2 * v + (1 - b2) * g * g
+        denom = jnp.sqrt(v_new) + eps
+        step_size = lr * jnp.sqrt(bc2) / bc1
+        flr = final_lr * lr / base_lr
+        lower = flr * (1 - 1 / (gamma * tf + 1))
+        upper = flr * (1 + 1 / (gamma * tf))
+        stepped = jnp.clip(step_size / denom, lower, upper) * m_new
+        return p - stepped, m_new, v_new
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(opt_state.m)
+    flat_v = treedef.flatten_up_to(opt_state.v)
+    flat_l = treedef.flatten_up_to(labels)
+    new_p, new_m, new_v = [], [], []
+    for p, g, m, v, lab in zip(flat_p, flat_g, flat_m, flat_v, flat_l):
+        np_, nm, nv = upd(p, g, m, v, lab)
+        new_p.append(np_)
+        new_m.append(nm)
+        new_v.append(nv)
+    return (jax.tree_util.tree_unflatten(treedef, new_p),
+            AdamState(step=t, m=jax.tree_util.tree_unflatten(treedef, new_m),
+                      v=jax.tree_util.tree_unflatten(treedef, new_v)))
