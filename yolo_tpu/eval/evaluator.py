@@ -40,7 +40,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              is_gray_scale=False, save_json=False, verbose=False,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
-             quant_apply=None, qstate=None):
+             quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -53,24 +53,32 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     iouv = np.asarray(iouv, np.float64)
     niou = len(iouv)
 
+    # val losses reported alongside mAP when loss hyp attached
+    # (reference test.py:113-116)
+    want_loss = loss_hyp is not None and anchor_vecs is not None
+
     if quant_apply is not None:
-        @jax.jit
-        def infer(params, state, x):
-            io, _, _ = quant_apply(params, state, qstate, x, False)
-            return non_max_suppression(io, conf_thres=conf_thres,
-                                       iou_thres=iou_thres, top_k=top_k,
-                                       max_det=max_det,
-                                       multi_label=multi_label)
+        def fwd(params, state, x):
+            return quant_apply(params, state, qstate, x, False)
     else:
         apply = make_apply(net, compute_dtype=compute_dtype, fused=fused)
 
-        @jax.jit
-        def infer(params, state, x):
-            io, _, _ = apply(params, state, x, train=False)
-            return non_max_suppression(io, conf_thres=conf_thres,
-                                       iou_thres=iou_thres, top_k=top_k,
-                                       max_det=max_det,
-                                       multi_label=multi_label)
+        def fwd(params, state, x):
+            return apply(params, state, x, train=False)
+
+    @jax.jit
+    def infer(params, state, x, targets, valid):
+        io, yolo_p, _ = fwd(params, state, x)
+        dets = non_max_suppression(io, conf_thres=conf_thres,
+                                   iou_thres=iou_thres, top_k=top_k,
+                                   max_det=max_det, multi_label=multi_label)
+        if want_loss:
+            from ..train.loss import compute_loss
+            _, items = compute_loss(
+                [p.astype(jnp.float32) for p in yolo_p], targets, valid,
+                anchor_vecs, nc, loss_hyp, 1.0)
+            return dets, items[:3]
+        return dets, jnp.zeros(3)
 
     if loader is None:
         if dataset is None:
@@ -86,15 +94,20 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
 
     print(('%20s' + '%10s' * 6) % ('Class', 'Images', 'Targets', 'P', 'R',
                                    'mAP@0.5', 'F1'))
+    val_loss = np.zeros(3)
+    n_batches = 0
     for imgs, tgt, valid, paths, shapes in loader:
         h, w = imgs.shape[1:3]
         x = jnp.asarray(imgs, jnp.float32) / 256.0
         if maxabsscaler:
             x = x * 2.0 - 1.0
         t0 = time.perf_counter()
-        dets = infer(params, state, x)
+        dets, loss_items = infer(params, state, x, jnp.asarray(tgt),
+                                 jnp.asarray(valid))
         dets.block_until_ready()
         t_inf += time.perf_counter() - t0
+        val_loss += np.asarray(loss_items)
+        n_batches += 1
         det_list = to_host_detections(dets)
 
         tgt = np.asarray(tgt)[np.asarray(valid)]
@@ -182,7 +195,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         except ImportError:
             pass
 
-    return (mp, mr, map50, mf1, 0.0, 0.0, 0.0), maps, (t_inf, t_nms)
+    vl = val_loss / max(n_batches, 1)
+    return (mp, mr, map50, mf1, float(vl[0]), float(vl[1]),
+            float(vl[2])), maps, (t_inf, t_nms)
 
 
 def glob_coco_annotations(data_dict):

@@ -70,6 +70,7 @@ class TrainOptions:
     nosave: bool = False
     weights_dir: str = 'weights'
     results_file: str = 'results.txt'
+    tb_logdir: str = ''                      # TensorBoard logdir ('' = off)
     device_mesh: Any = None                  # jax Mesh for DP; None = single
     max_targets: int = 0
     image_weights: bool = False
@@ -158,6 +159,14 @@ def run_training(opt: TrainOptions):
                          max_targets=opt.max_targets, shuffle=True,
                          drop_last=True, seed=opt.seed)
 
+    tb = None
+    if opt.tb_logdir:
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(opt.tb_logdir)
+        except ImportError:
+            log('tensorboardX unavailable; TB logging disabled')
+
     nb = len(loader)
     n_burn = max(3 * nb, 500)
     os.makedirs(opt.weights_dir, exist_ok=True)
@@ -227,7 +236,23 @@ def run_training(opt: TrainOptions):
                 img_size=imgsz_test, is_gray_scale=opt.gray_scale,
                 multi_label=ni > n_burn, maxabsscaler=opt.maxabsscaler,
                 single_cls=opt.single_cls, quant_apply=quant_apply,
-                qstate=None if ts.qstate is None else jax.device_get(ts.qstate))
+                qstate=None if ts.qstate is None else jax.device_get(ts.qstate),
+                loss_hyp=loss_hyp, anchor_vecs=anchor_vecs)
+
+        # TensorBoard scalars + BN-gamma histograms (train.py:530-542)
+        if tb is not None:
+            tags = ['train/giou_loss', 'train/obj_loss', 'train/cls_loss',
+                    'metrics/precision', 'metrics/recall', 'metrics/mAP_0.5',
+                    'metrics/F1', 'val/giou_loss', 'val/obj_loss',
+                    'val/cls_loss']
+            for v, tag in zip(list(mloss[:3]) + list(results), tags):
+                tb.add_scalar(tag, float(v), epoch)
+            if opt.prune != -1 and sparse_layers:
+                gammas = np.concatenate([
+                    np.abs(np.asarray(ts.params[str(i)]['gamma']))
+                    for i in sparse_layers])
+                tb.add_histogram('bn_weights/hist', gammas, epoch,
+                                 bins='doane')
 
         with open(opt.results_file, 'a') as f:
             f.write(('%10.4g' * 12 + '\n') % (epoch, *mloss, *results))
