@@ -438,7 +438,8 @@ class BatchLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  max_targets: int = 0, shuffle: bool = False,
-                 prefetch: int = 2, drop_last: bool = False, seed=None):
+                 prefetch: int = 2, drop_last: bool = False, seed=None,
+                 use_native: bool | None = None):
         self.ds = dataset
         self.bs = batch_size
         self.max_t = max_targets or (30 * batch_size)
@@ -446,14 +447,66 @@ class BatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.rnd = random.Random(seed)
+        if use_native is None:
+            from .. import native
+            use_native = (native.available() and not dataset.augment and
+                          not dataset.is_gray_scale)
+        self.use_native = use_native
 
     def __len__(self):
         if self.drop_last:
             return self.ds.n // self.bs
         return math.ceil(self.ds.n / self.bs)
 
+    def _assemble_native(self, idxs):
+        """Batched C++ letterbox fast path (eval only): one OpenMP pass
+        writes the whole NHWC batch; label math mirrors
+        DetectionDataset.__getitem__ exactly."""
+        from ..native import letterbox_batch
+        from ..train.loss import pad_targets
+        ds = self.ds
+        raw, metas = [], []
+        for i in idxs:
+            img, (h0, w0), (h, w) = ds._load_image(i)
+            raw.append(img)
+            metas.append((i, h0, w0, h, w))
+        shape = (ds.batch_shapes[ds.batch[idxs[0]]] if ds.rect
+                 else (ds.img_size, ds.img_size))
+        dst_h, dst_w = int(shape[0]), int(shape[1])
+        batch, ratios, pads = letterbox_batch(raw, dst_h, dst_w,
+                                              scaleup=ds.augment)
+        labels, paths, shapes = [], [], []
+        for j, (i, h0, w0, h, w) in enumerate(metas):
+            r = float(ratios[j])
+            padw, padh = float(pads[j, 0]), float(pads[j, 1])
+            lab = ds.labels[i]
+            if lab.size:
+                px = xywhn_to_xyxy_pixels(lab, w, h, padw, padh, r, r)
+                out = px.copy()
+                out[:, 1:5] = xyxy2xywh_np(px[:, 1:5])
+                out[:, [2, 4]] /= dst_h
+                out[:, [1, 3]] /= dst_w
+                labels.append(out.astype(np.float32))
+            else:
+                labels.append(np.zeros((0, 5), np.float32))
+            paths.append(ds.img_files[i])
+            shapes.append(((h0, w0), ((h / h0, w / w0), (padw, padh))))
+        while len(labels) < self.bs:
+            batch = np.concatenate(
+                [batch, np.zeros((1, dst_h, dst_w, batch.shape[3]), np.uint8)])
+            labels.append(np.zeros((0, 5), np.float32))
+            paths.append('')
+            shapes.append(None)
+        tgt, valid = pad_targets(labels, self.max_t)
+        return batch, tgt, valid, paths, shapes
+
     def _assemble(self, idxs):
         from ..train.loss import pad_targets
+        if self.use_native:
+            try:
+                return self._assemble_native(idxs)
+            except Exception:
+                pass  # fall through to the per-image python path
         imgs, labels, paths, shapes = [], [], [], []
         for i in idxs:
             im, lab, p, sh = self.ds[i]
