@@ -217,3 +217,24 @@ def test_prune_cli(workspace, tmp_path, monkeypatch):
     assert out_cfgs
     net2 = build_ir(str(workspace / out_cfgs[0]))
     assert len(net2.layers) == len(net.layers)
+
+
+def test_train_convergence(workspace, tmp_path, monkeypatch):
+    """End-to-end learning check: the toy detector must reach high mAP on the
+    synthetic single-box dataset (burn-in shortened for the tiny set)."""
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.train.loop import TrainOptions, run_training
+    # tiny-set regime: no burn-in floor, no grad accumulation, boosted lr
+    # (the reference defaults assume COCO-scale step counts)
+    hyp_txt = tmp_path / 'hyp.txt'
+    hyp_txt.write_text('# hyp\n#\nlr0 0.16\nmomentum 0.937\n'
+                       'weight_decay 0.0\n')
+    opt = TrainOptions(
+        cfg=str(workspace / 'toy.cfg'), data=str(workspace / 'obj.data'),
+        epochs=300, batch_size=4, img_size=(64, 64, 64), notest=True,
+        nosave=True, n_burn_override=30, ema=False, augment=False,
+        accumulate_override=1, hyp_path=str(hyp_txt),
+        log_fn=lambda *a, **k: None)
+    r = run_training(opt)
+    # final-epoch eval runs because notest only skips intermediate epochs
+    assert r[2] > 0.5, f'mAP@0.5 after training: {r[2]}'

@@ -77,6 +77,9 @@ class TrainOptions:
     hyp_path: str | None = None
     seed: int = 0
     log_fn: Any = print
+    n_burn_override: int | None = None   # None = reference rule max(3*nb, 500)
+    augment: bool = True                 # disable for deterministic tests
+    accumulate_override: int | None = None  # None = reference 64/bs rule
 
 
 def run_training(opt: TrainOptions):
@@ -151,7 +154,7 @@ def run_training(opt: TrainOptions):
         ts = replicate(mesh, ts)
 
     dataset = DetectionDataset(
-        train_path, img_size, opt.batch_size, augment=True, hyp=hyp,
+        train_path, img_size, opt.batch_size, augment=opt.augment, hyp=hyp,
         rect=opt.rect, cache_images=opt.cache_images,
         is_gray_scale=opt.gray_scale, image_weights=opt.image_weights,
         seed=opt.seed)
@@ -168,7 +171,8 @@ def run_training(opt: TrainOptions):
             log('tensorboardX unavailable; TB logging disabled')
 
     nb = len(loader)
-    n_burn = max(3 * nb, 500)
+    n_burn = (opt.n_burn_override if opt.n_burn_override is not None
+              else max(3 * nb, 500))
     os.makedirs(opt.weights_dir, exist_ok=True)
     last = os.path.join(opt.weights_dir, 'last.npz')
     best = os.path.join(opt.weights_dir, 'best.npz')
@@ -197,6 +201,8 @@ def run_training(opt: TrainOptions):
                 weight_decay=hyp['weight_decay'], epochs=opt.epochs,
                 batch_size=opt.batch_size, quantized=(opt.quantized != -1),
                 adam=opt.adam)
+            if opt.accumulate_override is not None:
+                accumulate = opt.accumulate_override
 
             x = preprocess(imgs, opt.maxabsscaler)
             if multi_scale:
