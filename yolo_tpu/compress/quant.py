@@ -495,6 +495,11 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 prev = conv_ops.se_block(prev, p['fc1'], p['fc2'])
             elif lyr.kind == 'upsample':
                 prev = conv_ops.upsample_nearest(prev, lyr.stride)
+            elif lyr.kind == 'avgpool':
+                prev = jnp.mean(prev.astype(jnp.float32), axis=(1, 2),
+                                keepdims=True).astype(prev.dtype)
+            elif lyr.kind == 'scale_channels':
+                prev = outs[lyr.layers[0]] * prev
             elif lyr.kind == 'route':
                 if len(lyr.layers) > 1:
                     if sch == 'tpsq' or k not in new_q:

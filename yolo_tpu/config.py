@@ -104,7 +104,14 @@ def parse_data_cfg(path: str | os.PathLike) -> dict[str, str]:
 
 
 def load_classes(path: str | os.PathLike) -> list[str]:
-    """Load class names from a .names file (reference utils/utils.py:38-41)."""
+    """Load class names from a .names file (reference utils/utils.py:38-41).
+
+    Falls back to recursive-glob location so `.data` files that reference
+    `data/foo.names` resolve when the names live under `data_cfg/`.
+    """
+    path = str(path)
+    if not os.path.exists(path):
+        path = find_file(path)
     with open(str(path), 'r') as f:
         names = f.read().split('\n')
     return list(filter(None, names))

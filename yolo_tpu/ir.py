@@ -131,7 +131,9 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
                 # anisotropic stride_x/stride_y (yolov3-spp-matrix.cfg; the
                 # reference create_modules raises KeyError on these)
                 lyr.stride_xy = (int(mdef['stride_y']), int(mdef['stride_x']))
-            lyr.pad = (lyr.size - 1) // 2 if int(mdef['pad']) else 0
+            # darknet defaults pad=0 when absent (the reference create_modules
+            # KeyErrors on pad-less convs, e.g. the efficientnetB0 SE 1x1s)
+            lyr.pad = (lyr.size - 1) // 2 if int(mdef.get('pad', 0)) else 0
             lyr.groups = (lyr.in_channels if kind == 'depthwise'
                           else int(mdef.get('groups', 1)))
             lyr.activation = str(mdef.get('activation', 'linear'))
@@ -142,6 +144,21 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
         elif kind == 'maxpool':
             lyr.size = int(mdef['size'])
             lyr.stride = int(mdef['stride'])
+
+        elif kind == 'avgpool':
+            # global average pool (squeeze step of cfg-level SE blocks in the
+            # efficientnetB0 zoo cfg; the reference create_modules has no case
+            # for it and crashes — supported here for full zoo coverage)
+            pass
+
+        elif kind == 'scale_channels':
+            # channel-wise multiply of the `from` feature map by the incoming
+            # 1x1 gate (excite step); output takes the `from` layer's shape
+            src = mdef['from']
+            src = src if isinstance(src, list) else [src]
+            lyr.filters = output_filters[src[0] + 1 if src[0] > 0 else src[0]]
+            lyr.layers = tuple(_abs_index(i, l) for l in src)
+            routs.update(lyr.layers)
 
         elif kind == 'se':
             # reference models.py:217-222: 'reduction' variant overrides and
@@ -219,7 +236,7 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
             f = prev_f * lyr.stride
         elif lyr.kind == 'upsample':
             f = max(prev_f // lyr.stride, 1)
-        elif lyr.kind == 'route':
+        elif lyr.kind in ('route', 'scale_channels'):
             f = factor[lyr.layers[0]] if lyr.layers and lyr.layers[0] < i else prev_f
         elif lyr.kind == 'yolo':
             lyr.yolo_stride = prev_f

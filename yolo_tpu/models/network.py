@@ -201,6 +201,16 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                         x_ = x_ + a[..., :nx_]
                 prev = x_
 
+            elif lyr.kind == 'avgpool':
+                # global average pool to 1x1 (SE squeeze); f32 reduction for
+                # stable means under bf16 activations
+                prev = jnp.mean(prev.astype(jnp.float32), axis=(1, 2),
+                                keepdims=True).astype(prev.dtype)
+
+            elif lyr.kind == 'scale_channels':
+                # excite: per-channel gate (1x1 spatial) scales the `from` map
+                prev = outs[lyr.layers[0]] * prev
+
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass  # reorg3d is a reference no-op; dropout is inference-identity
 

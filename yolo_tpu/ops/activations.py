@@ -42,6 +42,11 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def logistic(x):
+    # darknet name for sigmoid (efficientnetB0 zoo cfg SE gates)
+    return jax.nn.sigmoid(x)
+
+
 def linear(x):
     return x
 
@@ -54,6 +59,7 @@ _BY_NAME = {
     'h_sigmoid': hard_sigmoid,
     'swish': swish,
     'mish': mish,
+    'logistic': logistic,
     'linear': linear,
     '': linear,
 }
