@@ -5,8 +5,9 @@ Replaces the reference's per-image Python loop + torchvision NMS
 
   1. score = obj * cls; multi-label candidates via top-k over (N * nc)
   2. wh / conf constraints applied as -inf score masks (no dynamic shapes)
-  3. exact greedy NMS on class-offset boxes via a lax.fori_loop suppression
-     sweep over score-sorted candidates
+  3. exact greedy NMS on class-offset boxes via an iterative-fixpoint
+     suppression sweep — fused Pallas kernel on TPU (ops/pallas_nms.py),
+     XLA lax.while_loop elsewhere
   4. merge-NMS weighted box fusion (the reference default, method='merge')
   5. fixed max_det output slots; invalid slots have conf == 0
 
@@ -26,9 +27,9 @@ from .boxes import box_iou_matrix, xywh2xyxy
 MIN_WH, MAX_WH = 2.0, 4096.0  # box constraints (reference utils/utils.py:791)
 
 
-def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
-                agnostic, merge, max_sweeps):
-    """NMS for one image. pred: (N, 5 + nc) decoded xywh/obj/cls."""
+def _candidates(pred, conf_thres, top_k, multi_label, agnostic):
+    """Candidate selection for one image. pred: (N, 5 + nc) decoded
+    xywh/obj/cls. Returns fixed-k arrays (score-sorted desc)."""
     nc = pred.shape[1] - 5
     box_xywh = pred[:, :4]
     obj = pred[:, 4]
@@ -62,7 +63,14 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
     boxes = xywh2xyxy(box_xywh[box_idx])           # (k, 4)
     offset = jnp.where(agnostic, 0.0, cls_idx) * MAX_WH
     oboxes = boxes + offset[:, None]               # class-offset for batched NMS
+    return boxes, oboxes, cand_scores, cls_idx, valid
 
+
+def _suppress_xla(oboxes, boxes, cand_scores, valid, iou_thres, merge,
+                  max_sweeps):
+    """One image: greedy-NMS fixpoint + merge in plain XLA (CPU/GPU path;
+    on TPU ops/pallas_nms.suppress fuses this into a single VMEM kernel)."""
+    k = oboxes.shape[0]
     iou = box_iou_matrix(oboxes, oboxes)
     # strict-upper-triangular suppression graph: earlier (higher-scored)
     # boxes suppress later ones
@@ -71,7 +79,7 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
     # Iterative fixpoint of keep[j] = valid[j] & !any_i(tri[i,j] & keep[i]).
     # Each sweep propagates suppression one chain level deeper; the fixpoint
     # equals the sequential greedy-NMS result, but each sweep is one dense
-    # (k, k) reduction on the MXU instead of k serial steps.
+    # (k, k) reduction instead of k serial steps.
     def cond(carry):
         keep, prev, it = carry
         return (it < max_sweeps) & jnp.any(keep != prev)
@@ -84,14 +92,20 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
     keep, _, _ = lax.while_loop(
         cond, body, (valid, jnp.zeros_like(valid), jnp.zeros((), jnp.int32)))
 
+    merged = boxes
     if merge:
         # weighted mean over ALL candidates with iou > thres
         # (reference utils/utils.py:846-853)
         w = (iou > iou_thres) * cand_scores[None, :] * valid[None, :]
         denom = jnp.sum(w, axis=1, keepdims=True)
-        merged = (w @ boxes) / jnp.maximum(denom, 1e-12)
-        boxes = jnp.where((keep & (denom[:, 0] > 0))[:, None], merged, boxes)
+        fused = (w @ boxes) / jnp.maximum(denom, 1e-12)
+        merged = jnp.where(denom > 0, fused, boxes)
+    return keep, merged
 
+
+def _finalize(boxes, cand_scores, cls_idx, keep, max_det):
+    """One image: rank kept candidates into max_det output slots."""
+    k = cand_scores.shape[0]
     out_scores = jnp.where(keep, cand_scores, 0.0)
     sel_scores, sel = lax.top_k(out_scores, min(max_det, k))
     det = jnp.concatenate(
@@ -104,21 +118,42 @@ def _nms_single(pred, conf_thres, iou_thres, top_k, max_det, multi_label,
 
 @partial(jax.jit, static_argnames=('conf_thres', 'iou_thres', 'top_k',
                                    'max_det', 'multi_label', 'agnostic',
-                                   'merge', 'max_sweeps'))
+                                   'merge', 'max_sweeps', 'use_pallas'))
 def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
                         top_k: int = 512, max_det: int = 300,
                         multi_label: bool = True, agnostic: bool = False,
-                        merge: bool = True, max_sweeps: int = 16):
+                        merge: bool = True, max_sweeps: int = 16,
+                        use_pallas: bool | None = None):
     """Batched NMS. pred: (bs, N, 5 + nc) -> (bs, max_det, 6).
 
     ``max_sweeps`` bounds the fixpoint iteration; each sweep resolves one
     more level of suppression chains, so the result is exactly greedy NMS
     whenever chains are shorter than the cap (always true for trained
-    detectors; raise it for adversarial inputs)."""
-    fn = partial(_nms_single, conf_thres=conf_thres, iou_thres=iou_thres,
-                 top_k=top_k, max_det=max_det, multi_label=multi_label,
-                 agnostic=agnostic, merge=merge, max_sweeps=max_sweeps)
-    return jax.vmap(fn)(pred)
+    detectors; raise it for adversarial inputs).
+
+    ``use_pallas`` selects the fused VMEM suppression kernel (default: on
+    when running on TPU)."""
+    boxes, oboxes, cand_scores, cls_idx, valid = jax.vmap(
+        partial(_candidates, conf_thres=conf_thres, top_k=top_k,
+                multi_label=multi_label, agnostic=agnostic))(pred)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        from .pallas_nms import suppress
+        # merge weights use score * valid; fold valid in here
+        keep, merged = suppress(oboxes, boxes,
+                                cand_scores * valid.astype(cand_scores.dtype),
+                                valid, iou_thres=iou_thres,
+                                max_sweeps=max_sweeps, merge=merge)
+    else:
+        keep, merged = jax.vmap(
+            partial(_suppress_xla, iou_thres=iou_thres, merge=merge,
+                    max_sweeps=max_sweeps))(oboxes, boxes, cand_scores, valid)
+
+    merged = jnp.where(keep[..., None], merged, boxes)
+    return jax.vmap(partial(_finalize, max_det=max_det))(
+        merged, cand_scores, cls_idx, keep)
 
 
 def to_host_detections(dets) -> list:
