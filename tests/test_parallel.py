@@ -1,0 +1,73 @@
+"""Parallelism: DP batch sharding and tensor-parallel conv-channel sharding
+over a 2-D (data, model) mesh must be numerically transparent.
+
+The reference has DP only (DDP/NCCL, train.py:93-107); TP is a TPU-native
+extension (parallel/mesh.py state_shardings). Runs on the 8-device virtual
+CPU mesh from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.ir import build_ir
+from yolo_tpu.models.network import init_params
+from yolo_tpu.parallel import make_mesh, shard_batch, shard_state, state_shardings
+from yolo_tpu.parallel.mesh import MODEL_AXIS
+from yolo_tpu.train.loss import LossHyp, pad_targets
+from yolo_tpu.train.schedules import burn_in_scalars
+from yolo_tpu.train.trainer import init_train_state, make_train_functions
+
+
+def _one_step(repo_root, mesh):
+    net = build_ir(f'{repo_root}/cfg/yolov3tiny/yolov3-tiny.cfg')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    anchor_vecs = [l.anchors / l.yolo_stride for l in net.layers
+                   if l.kind == 'yolo']
+    grad_fn, update_fn = make_train_functions(
+        net, anchor_vecs, nc=80, hyp=LossHyp(), compute_dtype=jnp.float32)
+    ts = init_train_state(params, state)
+    bs = 8
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(bs, 64, 64, 3).astype(np.float32)
+    tgt, valid = pad_targets([np.array([[1, .5, .5, .2, .2]], np.float32)] * bs, 16)
+    scalars, gr, _ = burn_in_scalars(1000, 500, 0, lr0=0.01, momentum=0.937,
+                                     weight_decay=5e-4, epochs=10, batch_size=bs)
+    with mesh:
+        ts = shard_state(mesh, net, ts)
+        imgs_s = shard_batch(mesh, imgs)
+        ts, items = grad_fn(ts, imgs_s, jnp.asarray(tgt), jnp.asarray(valid),
+                            gr, 1.0)
+        ts = update_fn(ts, scalars)
+    return net, ts, np.asarray(items)
+
+
+def test_tp_shardings_cover_conv_channels(repo_root):
+    net = build_ir(f'{repo_root}/cfg/yolov3tiny/yolov3-tiny.cfg')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    mesh = make_mesh(jax.devices(), model_parallel=2)
+    sh = state_shardings(mesh, net, params)
+    # count leaves carrying the model axis
+    n_tp = sum(1 for leaf in jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: MODEL_AXIS in jax.tree_util.tree_leaves(
+            tuple(s.spec)), sh)) if leaf)
+    assert n_tp > 10, n_tp   # most backbone convs should be TP-sharded
+    # YOLO-head convs (255 filters, not divisible by 2) stay replicated
+    for lyr in net.layers:
+        if lyr.kind == 'conv' and lyr.smart_bias:
+            spec = sh[str(lyr.index)]['w'].spec
+            assert MODEL_AXIS not in jax.tree_util.tree_leaves(tuple(spec))
+
+
+def test_dp_tp_matches_pure_dp(repo_root):
+    mesh_dp = make_mesh(jax.devices(), model_parallel=1)
+    mesh_tp = make_mesh(jax.devices(), model_parallel=2)
+    _, ts_dp, loss_dp = _one_step(repo_root, mesh_dp)
+    net, ts_tp, loss_tp = _one_step(repo_root, mesh_tp)
+    np.testing.assert_allclose(loss_dp, loss_tp, rtol=2e-4, atol=2e-5)
+    # updated params identical across sharding layouts
+    p_dp = jax.tree_util.tree_leaves(ts_dp.params)
+    p_tp = jax.tree_util.tree_leaves(ts_tp.params)
+    for a, b in zip(p_dp, p_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

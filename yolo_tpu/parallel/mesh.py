@@ -51,3 +51,59 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism: conv output channels sharded over the model axis
+# ---------------------------------------------------------------------------
+# The reference has no TP (SURVEY.md §2.6 — DDP only). This goes beyond
+# parity the TPU-native way: annotate weight shardings, let GSPMD propagate
+# channel sharding through the graph and insert the ICI collectives. Only
+# plain (groups == 1) convs whose filter count divides the model-axis size
+# are sharded (HWIO O-dim + the matching BN/bias vectors); depthwise, SE,
+# YOLO-head convs (na*(nc+5) channels) and everything else stays replicated.
+
+_TP_VECTOR_FIELDS = ('gamma', 'beta', 'b', 'mean', 'var')
+
+
+def _tp_spec(net, tp: int, layer_idx: int, fld: str, shape) -> P:
+    if layer_idx >= len(net.layers):
+        return P()
+    lyr = net.layers[layer_idx]
+    if lyr.kind != 'conv' or lyr.groups != 1 or lyr.filters % tp:
+        return P()
+    if fld == 'w' and len(shape) == 4 and shape[-1] == lyr.filters:
+        return P(None, None, None, MODEL_AXIS)
+    if fld in _TP_VECTOR_FIELDS and tuple(shape) == (lyr.filters,):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def state_shardings(mesh: Mesh, net, tree):
+    """NamedSharding pytree for any params-shaped state (params, BN state,
+    optimizer velocity/moments, EMA, grad accumulators).
+
+    Works by path pattern: a dict key that is a layer index ('12') followed
+    by a field key ('w'/'gamma'/...) anywhere in the path marks a per-layer
+    parameter leaf; everything else is replicated.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def spec(path, leaf):
+        keys = [k.key for k in path if isinstance(k, jax.tree_util.DictKey)]
+        p = P()
+        if tp > 1:
+            for a, b in zip(keys, keys[1:]):
+                if isinstance(a, str) and a.isdigit() and isinstance(b, str):
+                    p = _tp_spec(net, tp, int(a), b, leaf.shape)
+                    break
+        return NamedSharding(mesh, p)
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_state(mesh: Mesh, net, tree):
+    """Device-put a train-state pytree with TP shardings (pure DP when the
+    mesh has model=1 — then this equals replicate())."""
+    shardings = state_shardings(mesh, net, tree)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
