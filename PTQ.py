@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument('--shortcut_way', type=int, default=1)
     p.add_argument('--out', type=str, default='weights/PTQ.npz')
     p.add_argument('--no-eval', action='store_true')
+    p.add_argument('--int8-engine', action='store_true',
+                   help='also evaluate the calibrated model on the true-int8 '
+                        'MXU engine (s8xs8->s32 convs, int8 HBM edges)')
     opt = p.parse_args(argv)
 
     import jax
@@ -73,6 +76,21 @@ def main(argv=None):
         evaluate(q_bundle.net, q_bundle.params, state, opt.data,
                  batch_size=opt.batch_size, img_size=opt.img_size,
                  quant_apply=q_bundle._apply, qstate=qstate)
+
+    if opt.int8_engine:
+        from yolo_tpu.compress.quant import QuantConfig
+        from yolo_tpu.models.int8_engine import prepare_int8, make_int8_apply
+        qcfg = QuantConfig(scheme='ptq_cos', a_bits=opt.a_bit,
+                           w_bits=opt.w_bit, shortcut_way=opt.shortcut_way)
+        plan = prepare_int8(q_bundle.net, q_bundle.params, state, qstate, qcfg)
+        eng = make_int8_apply(q_bundle.net, plan)
+        if not opt.no_eval:
+            print('evaluating the true-int8 engine...')
+            evaluate(q_bundle.net, plan.arrays, {}, opt.data,
+                     batch_size=opt.batch_size, img_size=opt.img_size,
+                     quant_apply=lambda pa, st, qs, x, train:
+                         (*eng(pa, x), []),
+                     qstate=None)
 
     os.makedirs(os.path.dirname(opt.out) or '.', exist_ok=True)
     save_checkpoint(opt.out, params=jax.device_get(q_bundle.params),

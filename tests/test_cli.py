@@ -181,6 +181,26 @@ def test_ptq_cli(workspace, tmp_path, monkeypatch):
         assert os.path.exists(f'fpga_export/{f}')
 
 
+def test_ptq_cli_int8_engine(workspace, tmp_path, monkeypatch):
+    """PTQ with --int8-engine evaluates the true-int8 MXU engine too."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                  '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4',
+                  '--int8-engine', '--out', 'weights/PTQ8.npz'])
+    assert os.path.exists('weights/PTQ8.npz')
+
+
 def test_info_cli(workspace, capsys):
     import info as info_cli
     r = info_cli.main(['--cfg', str(workspace / 'toy.cfg'), '--img-size', '64'])

@@ -1,0 +1,91 @@
+"""True-int8 engine vs fake-quant simulation parity.
+
+The engine (models/int8_engine.py) must reproduce the calibrated fake-quant
+graph (compress/quant.py) — same folded weights, same pow-2 scales, real
+s8xs8->s32 convs instead of simulated quantize-dequantize."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolo_tpu.compress import quant as Q
+from yolo_tpu.ir import build_ir
+from yolo_tpu.models.network import init_params
+from yolo_tpu.models.int8_engine import prepare_int8, make_int8_apply
+
+from tests.test_trainer import TOY_CFG
+
+
+def _assert_close(eng, sim):
+    """Engine accumulates convs in exact int32 while the sim uses f32, so
+    values on requantization boundaries can flip one activation LSB and
+    propagate; require tight mean agreement and bounded worst case."""
+    d_prob = np.abs(eng[..., 4:] - sim[..., 4:])
+    assert d_prob.mean() < 1e-3, d_prob.mean()
+    assert d_prob.max() < 0.05, d_prob.max()
+    d_box = np.abs(eng[..., :4] - sim[..., :4])
+    assert d_box.mean() < 0.05, d_box.mean()
+    assert d_box.max() < 2.0, d_box.max()   # < 2px on a 64px image
+
+
+def _calibrated(net, params, state, shortcut_way=1, steps=3):
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100,
+                        shortcut_way=shortcut_way)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    apply_q = Q.make_quant_apply(net, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3 + 0.4
+    st, qs = state, qstate
+    for _ in range(steps):
+        _, st, qs = apply_q(params, st, qs, x, train=True)
+    return cfg, apply_q, qs, x
+
+
+@pytest.fixture(scope='module')
+def toy(tmp_path_factory):
+    p = tmp_path_factory.mktemp('i8cfg') / 'toy.cfg'
+    p.write_text(TOY_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    rng = np.random.RandomState(0)
+    for k in state:
+        n = state[k]['mean'].shape[0]
+        state[k] = {'mean': jnp.asarray(rng.randn(n).astype(np.float32) * 0.05),
+                    'var': jnp.asarray(rng.uniform(0.8, 1.2, n).astype(np.float32))}
+    return net, params, state
+
+
+@pytest.mark.parametrize('shortcut_way', [1, 2])
+def test_engine_matches_sim_toy(toy, shortcut_way):
+    net, params, state = toy
+    cfg, apply_q, qs, x = _calibrated(net, params, state, shortcut_way)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    apply_i8 = jax.jit(make_int8_apply(net, plan))
+    io_eng, _ = apply_i8(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)
+
+
+def test_engine_yolov3tiny(repo_root):
+    """Route concat + maxpool + upsample coverage on a real zoo cfg."""
+    net = build_ir(f'{repo_root}/cfg/yolov3tiny/yolov3-tiny.cfg')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, apply_q, qs, x = _calibrated(net, params, state, steps=2)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    apply_i8 = jax.jit(make_int8_apply(net, plan))
+    io_eng, _ = apply_i8(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)
+
+
+def test_engine_weights_are_int8(toy):
+    net, params, state = toy
+    cfg, _, qs, _ = _calibrated(net, params, state)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    for k, v in plan.arrays.items():
+        if 'w8' in v:
+            assert v['w8'].dtype == jnp.int8

@@ -191,7 +191,7 @@ def cospt_init(bits: int):
 def cospt_quantize(x, qs, *, bits: int, train: bool):
     """Vectorised cos-sim scale search. Candidate float ranges are
     2^(i-5), i in [0, bits+7); the per-batch winner gets a vote and the
-    全局 argmax of votes selects the working scale (scale_list logic,
+    global argmax of votes selects the working scale (scale_list logic,
     quantized_ptq_cos.py:72-88)."""
     if bits == 32:
         return x, qs

@@ -1,0 +1,252 @@
+"""True-int8 inference engine: quantized convs execute on the MXU in s8xs8->s32.
+
+The fake-quant graphs (compress/quant.py, mirroring the reference's
+utils/quantized/*.py) *simulate* integer arithmetic in float. This module
+runs the calibrated model with real int8 tensors end-to-end:
+
+  - conv weights are pre-quantized to int8 (BN folded, pow-2 scale);
+  - activations travel between layers as int8 in HBM (half the bytes of
+    bf16 — the pipeline is bandwidth-bound, SURVEY.md §6 north star names
+    int8 images/sec/chip as the headline metric);
+  - each conv runs ``lax.conv_general_dilated`` s8xs8 with int32
+    accumulation (1.4x the MXU throughput of bf16 on v5e), then a fused
+    f32 epilogue: scale (s_in * s_w), bias, activation, requantize to the
+    layer's own output scale — exactly the arithmetic the fake-quant sim
+    models, so engine ≈ sim to f32 rounding;
+  - shortcut/concat follow the sim's requantization chains
+    (QuantizedShortcut min/max ways, QuantizedFeatureConcat common scale).
+
+Scales are read from a *calibrated* qstate (QAT or PTQ) at prepare time and
+baked into the jitted program as constants (they are frozen after
+calibration — quantized_google.py Scale_freeze_step semantics).
+
+Layers int8 cannot express (float input edge, SE, avgpool) fall back to
+bf16 for that edge only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ir import NetworkIR
+from ..ops import activations as act_mod
+from ..ops import conv as conv_ops
+from ..models.yolo_head import decode_yolo, reshape_pred
+from ..compress.quant import QuantConfig, qrange, round_half_away
+
+BN_EPS = 1e-5
+
+
+class Int8Plan(NamedTuple):
+    arrays: dict            # {layer_key: {'w8': int8 HWIO, 'bias': f32}}
+    meta: dict              # {layer_key: {'sw','sa','in_scale','sc','rs': float}}
+    a_bits: int
+    shortcut_way: int
+    maxabsscaler: bool
+
+
+def _q_arr(x, scale, bits):
+    qmin, qmax = qrange(bits, True)
+    return np.clip(np.sign(x) * np.floor(np.abs(x) / scale + 0.5),
+                   qmin, qmax).astype(np.int8 if bits <= 8 else np.int32)
+
+
+def prepare_int8(net: NetworkIR, params, state, qstate,
+                 cfg: QuantConfig) -> Int8Plan:
+    """Fold BN, quantize weights/biases to integers, extract frozen scales.
+
+    Mirrors the eval path of compress/quant.py make_quant_apply: w_fold =
+    w * gamma/sqrt(var+eps), bias = beta - mean*inv (+ b*inv), both
+    fake-quantized with their tracker scales (here: true integer weights plus
+    a dequantized f32 bias vector, which is what the fused epilogue adds).
+    """
+    arrays: dict[str, dict] = {}
+    meta: dict[str, dict] = {}
+    for lyr in net.layers:
+        k = str(lyr.index)
+        if lyr.kind in ('conv', 'depthwise'):
+            p = {f: np.asarray(v, np.float64) for f, v in params[k].items()}
+            if lyr.bn:
+                st = state[k]
+                inv = p['gamma'] / np.sqrt(np.asarray(st['var'], np.float64)
+                                           + BN_EPS)
+                w_fold = p['w'] * inv[None, None, None, :]
+                bias = (p['beta'] + (p.get('b', 0.0) - np.asarray(
+                    st['mean'], np.float64)) * inv)
+            else:
+                w_fold = p['w']
+                bias = p.get('b', np.zeros(lyr.filters))
+            qs = qstate[k]
+            sw = float(np.asarray(qs['wq']['scale']))
+            sb = float(np.asarray(qs['bq']['scale']))
+            sa = float(np.asarray(qs['aq']['scale']))
+            w8 = _q_arr(w_fold, sw, cfg.w_bits)
+            bias_dq = _q_arr(bias, sb, cfg.w_bits).astype(np.float32) * sb
+            arrays[k] = {'w8': jnp.asarray(w8),
+                         'bias': jnp.asarray(bias_dq, jnp.float32)}
+            meta[k] = {'sw': sw, 'sa': sa}
+        elif lyr.kind == 'shortcut' and k in qstate:
+            meta[k] = {
+                'in_scale': float(np.asarray(
+                    qstate[k]['input_scale' if cfg.shortcut_way == 1
+                              else 'scale'])),
+                'sc': float(np.asarray(qstate[k]['scale'])),
+            }
+            if lyr.weighted and k in params:
+                arrays[k] = {'w': jnp.asarray(params[k]['w'])}
+        elif lyr.kind == 'route' and len(lyr.layers) > 1 and k in qstate:
+            meta[k] = {'rs': float(np.asarray(qstate[k]['scale']))}
+    return Int8Plan(arrays=arrays, meta=meta, a_bits=cfg.a_bits,
+                    shortcut_way=cfg.shortcut_way,
+                    maxabsscaler=cfg.maxabsscaler)
+
+
+# carried edge: ('q', int8_array, concrete_scale) | ('f', float_array)
+
+def _as_float(t):
+    if t[0] == 'f':
+        return t[1]
+    return t[1].astype(jnp.float32) * t[2]
+
+
+def _requant(t, scale, bits):
+    """Re-quantize a carried edge to ``scale`` (saturating)."""
+    qmin, qmax = qrange(bits, True)
+    if t[0] == 'q' and t[2] == scale:
+        return t
+    y = round_half_away(_as_float(t) / scale)
+    return ('q', jnp.clip(y, qmin, qmax).astype(jnp.int8), scale)
+
+
+def make_int8_apply(net: NetworkIR, plan: Int8Plan):
+    """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only."""
+    layers = net.layers
+    bits = plan.a_bits
+    qmin, qmax = qrange(bits, True)
+    meta = plan.meta
+
+    def conv_i8(lyr, arr, t):
+        stride = lyr.stride_xy or lyr.stride
+        m = meta[str(lyr.index)]
+        pad = [(lyr.pad, lyr.pad)] * 2
+        if t[0] == 'q':
+            y = lax.conv_general_dilated(
+                t[1], arr['w8'], (stride, stride) if isinstance(stride, int)
+                else tuple(stride), pad,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=lyr.groups,
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (t[2] * m['sw'])
+        else:  # float edge (network input): dequantized-weight bf16 conv
+            wf = (arr['w8'].astype(jnp.bfloat16) *
+                  jnp.bfloat16(m['sw']))
+            y = conv_ops.conv2d(t[1], wf, stride=stride, padding=lyr.pad,
+                                groups=lyr.groups,
+                                compute_dtype=jnp.bfloat16)
+            y = y.astype(jnp.float32)
+        y = y + arr['bias']
+        y = act_mod.get(lyr.activation, plan.maxabsscaler)(y)
+        q = jnp.clip(round_half_away(y / m['sa']), qmin, qmax)
+        return ('q', q.astype(jnp.int8), m['sa'])
+
+    def shortcut_i8(lyr, t, outs):
+        k = str(lyr.index)
+        if k not in meta:           # unquantized shortcut (tpsq) — float
+            x = _as_float(t)
+            for j in lyr.layers:
+                x = x + _as_float(outs[j])
+            return ('f', x)
+        m = meta[k]
+        x = _as_float(t)
+        for j in lyr.layers:
+            a = _as_float(outs[j])
+            if plan.shortcut_way == 2:      # max-way: saturating fq
+                xq = jnp.clip(round_half_away(x / m['in_scale']),
+                              qmin, qmax) * m['in_scale']
+                aq = jnp.clip(round_half_away(a / m['in_scale']),
+                              qmin, qmax) * m['in_scale']
+            else:                            # min-way: round, no clamp
+                xq = round_half_away(x / m['in_scale']) * m['in_scale']
+                aq = round_half_away(a / m['in_scale']) * m['in_scale']
+            nx_, na_ = xq.shape[-1], aq.shape[-1]
+            if nx_ == na_:
+                s = xq + aq
+            elif nx_ > na_:
+                s = jnp.concatenate([xq[..., :na_] + aq, xq[..., na_:]], -1)
+            else:
+                s = xq + aq[..., :nx_]
+            x = jnp.clip(round_half_away(s / m['sc']), qmin, qmax) * m['sc']
+        q = jnp.clip(round_half_away(x / m['sc']), qmin, qmax)
+        return ('q', q.astype(jnp.int8), m['sc'])
+
+    def apply(arrays, x):
+        outs: dict[int, Any] = {}
+        yolo_p = []
+        prev = ('f', x)
+        for lyr in layers:
+            k = str(lyr.index)
+            if lyr.kind in ('conv', 'depthwise'):
+                prev = conv_i8(lyr, arrays[k], prev)
+            elif lyr.kind == 'maxpool':
+                # monotonic: safe directly on int8
+                kind, a = prev[0], prev[1]
+                pooled = conv_ops.max_pool(a, lyr.size, lyr.stride)
+                prev = (kind, pooled) if kind == 'f' else (kind, pooled, prev[2])
+            elif lyr.kind == 'upsample':
+                a = conv_ops.upsample_nearest(prev[1], lyr.stride)
+                prev = ('f', a) if prev[0] == 'f' else ('q', a, prev[2])
+            elif lyr.kind == 'route':
+                if len(lyr.layers) > 1:
+                    parts = [outs[j] for j in lyr.layers]
+                    if k in meta:   # requantized concat at the common scale
+                        rs = meta[k]['rs']
+                        parts = [_requant(t, rs, bits)[1] for t in parts]
+                        prev = ('q', jnp.concatenate(parts, -1), rs)
+                    else:
+                        prev = ('f', jnp.concatenate(
+                            [_as_float(t) for t in parts], -1))
+                elif lyr.route_groups:
+                    if prev[0] == 'q':
+                        c = prev[1].shape[-1]
+                        prev = ('q', prev[1][..., c // 2:], prev[2])
+                    else:
+                        c = prev[1].shape[-1]
+                        prev = ('f', prev[1][..., c // 2:])
+                else:
+                    prev = outs[lyr.layers[0]]
+            elif lyr.kind == 'shortcut':
+                prev = shortcut_i8(lyr, prev, outs)
+            elif lyr.kind == 'se':
+                raise NotImplementedError(
+                    'SE blocks are not int8-lowered; use the fake-quant sim')
+            elif lyr.kind == 'avgpool':
+                prev = ('f', jnp.mean(_as_float(prev), axis=(1, 2),
+                                      keepdims=True))
+            elif lyr.kind == 'scale_channels':
+                prev = ('f', _as_float(outs[lyr.layers[0]]) * _as_float(prev))
+            elif lyr.kind == 'batchnorm':
+                raise NotImplementedError(
+                    'standalone BatchNorm2d is not int8-lowered')
+            elif lyr.kind in ('reorg3d', 'dropout'):
+                pass
+            elif lyr.kind == 'yolo':
+                yolo_p.append(reshape_pred(_as_float(prev), lyr.na, lyr.no))
+            if lyr.is_routed:
+                outs[lyr.index] = prev
+
+        ios = []
+        yi = 0
+        for lyr in layers:
+            if lyr.kind == 'yolo':
+                ios.append(decode_yolo(yolo_p[yi], lyr.anchors,
+                                       lyr.yolo_stride))
+                yi += 1
+        return jnp.concatenate(ios, axis=1), yolo_p
+
+    return apply

@@ -90,8 +90,11 @@ def max_pool(x, size: int, stride: int):
     else:
         p = (size - 1) // 2
         pad = [(0, 0), (p, p), (p, p), (0, 0)]
+    init = (jnp.array(-jnp.inf, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.array(jnp.iinfo(x.dtype).min, x.dtype))
     return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        x, init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

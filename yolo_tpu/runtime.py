@@ -19,6 +19,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache: the deep QAT-sim graphs compile in
+# minutes cold (75 convs x tracker updates); cache makes re-runs instant.
+# Opt out with YOLO_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get('YOLO_TPU_NO_COMPILE_CACHE'):
+    _cache_dir = os.environ.get(
+        'YOLO_TPU_COMPILE_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'yolo_tpu_xla'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    except Exception:  # older jax without the knobs
+        pass
+
 from .compress.quant import QuantConfig, init_quant_state, make_quant_apply
 from .ir import NetworkIR, build_ir
 from .models.darknet_io import load_darknet_weights, save_darknet_weights
