@@ -22,6 +22,16 @@ calibration — quantized_google.py Scale_freeze_step semantics).
 
 Layers int8 cannot express (float input edge, SE, avgpool) fall back to
 bf16 for that edge only.
+
+Performance status (v5e, 2026-08): a single int8 conv + fused requant
+epilogue is 1.76x faster than the bf16 conv (4.7 vs 8.3 ms at
+16x152x152x256->512). Composed into the full yolov3 graph, however, the
+current XLA TPU backend assigns batch-minor layouts to s8 activations and
+materialises s32 conv outputs, inserting ~20 ms layout copies per early
+layer (profiler-verified), so end-to-end the engine trails bf16 (142 vs
+94 ms @bs=64 608px). The engine is therefore the *semantics* reference for
+integer deployment (and the FPGA export path); the bf16 graph remains the
+throughput champion until XLA's int8 conv layouts improve.
 """
 
 from __future__ import annotations
