@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument('--name', type=str, default='')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--device-aug', action='store_true',
+                   help='run mosaic/affine/HSV/flip on the TPU '
+                        '(host decodes + letterboxes only)')
     return p.parse_args(argv)
 
 
@@ -73,7 +76,7 @@ def main(argv=None):
         shortcut_way=opt.shortcut_way, maxabsscaler=opt.maxabsscaler,
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
         t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
-        nosave=opt.nosave, seed=opt.seed,
+        nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
     return run_training(topt)
 

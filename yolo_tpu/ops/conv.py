@@ -90,8 +90,10 @@ def max_pool(x, size: int, stride: int):
     else:
         p = (size - 1) // 2
         pad = [(0, 0), (p, p), (p, p), (0, 0)]
-    init = (jnp.array(-jnp.inf, x.dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating)
+    # float init must stay a Python scalar: reduce_window's VJP rejects
+    # array-valued init; the typed array init is only needed (and only
+    # used) on the inference-only int8 path
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
             else jnp.array(jnp.iinfo(x.dtype).min, x.dtype))
     return lax.reduce_window(
         x, init,

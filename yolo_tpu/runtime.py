@@ -162,10 +162,20 @@ def _merge_compatible(dst, src):
     return out
 
 
-def preprocess(imgs_uint8, maxabsscaler: bool = False):
-    """uint8 NHWC batch -> float input (reference /256 normalisation,
-    train.py:345-348; maxabs (-1,1) mode models.py:103)."""
-    x = jnp.asarray(imgs_uint8, jnp.float32) / 256.0
+@partial(jax.jit, static_argnames=('maxabsscaler',))
+def _normalize(x_u8, maxabsscaler: bool = False):
+    x = x_u8.astype(jnp.float32) / 256.0
     if maxabsscaler:
         x = x * 2.0 - 1.0
     return x
+
+
+def preprocess(imgs_uint8, maxabsscaler: bool = False):
+    """uint8 NHWC batch -> float input (reference /256 normalisation,
+    train.py:345-348; maxabs (-1,1) mode models.py:103).
+
+    The batch crosses host->device as uint8 and is normalised on-device:
+    4x less H2D traffic per step (decisive over slow links, and free
+    bandwidth on PCIe hosts too)."""
+    x_u8 = jnp.asarray(np.ascontiguousarray(imgs_uint8))
+    return _normalize(x_u8, maxabsscaler)

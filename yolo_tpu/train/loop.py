@@ -79,6 +79,9 @@ class TrainOptions:
     log_fn: Any = print
     n_burn_override: int | None = None   # None = reference rule max(3*nb, 500)
     augment: bool = True                 # disable for deterministic tests
+    device_aug: bool = False             # mosaic/affine/HSV/flip on the TPU
+                                         # (host does decode+letterbox only;
+                                         # see data/device_aug.py)
     accumulate_override: int | None = None  # None = reference 64/bs rule
 
 
@@ -153,11 +156,19 @@ def run_training(opt: TrainOptions):
     if mesh is not None:
         ts = replicate(mesh, ts)
 
+    host_augment = opt.augment and not opt.device_aug
     dataset = DetectionDataset(
-        train_path, img_size, opt.batch_size, augment=opt.augment, hyp=hyp,
+        train_path, img_size, opt.batch_size, augment=host_augment, hyp=hyp,
         rect=opt.rect, cache_images=opt.cache_images,
         is_gray_scale=opt.gray_scale, image_weights=opt.image_weights,
         seed=opt.seed)
+    dev_aug = None
+    if opt.augment and opt.device_aug:
+        assert not opt.maxabsscaler, \
+            'device_aug operates on [0,1] inputs (no --maxabsscaler)'
+        from ..data.device_aug import make_device_augment
+        dev_aug = make_device_augment(img_size, hyp,
+                                      mosaic=not opt.rect)
     loader = BatchLoader(dataset, opt.batch_size,
                          max_targets=opt.max_targets, shuffle=True,
                          drop_last=True, seed=opt.seed)
@@ -205,6 +216,11 @@ def run_training(opt: TrainOptions):
                 accumulate = opt.accumulate_override
 
             x = preprocess(imgs, opt.maxabsscaler)
+            if dev_aug is not None:
+                x, tgt, valid = dev_aug(x, jnp.asarray(tgt),
+                                        jnp.asarray(valid),
+                                        jax.random.PRNGKey(opt.seed * 100003
+                                                           + ni))
             if multi_scale:
                 # bucketed size change every accumulate steps (train.py:367-374)
                 if (ni / max(accumulate, 1)) % 1 == 0:
