@@ -258,3 +258,20 @@ def test_train_convergence(workspace, tmp_path, monkeypatch):
     r = run_training(opt)
     # final-epoch eval runs because notest only skips intermediate epochs
     assert r[2] > 0.5, f'mAP@0.5 after training: {r[2]}'
+
+
+def test_train_resume(workspace, tmp_path, monkeypatch):
+    """--resume restores epoch/optimizer/best_fitness (reference
+    train.py:169-180): a 1+1-epoch resumed run appends to results.txt."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    base = ['--cfg', str(workspace / 'toy.cfg'),
+            '--data', str(workspace / 'obj.data'),
+            '--batch-size', '4', '--img-size', '64', '64', '64', '--notest']
+    train_cli.main(base + ['--epochs', '1'])
+    assert len(open('results.txt').read().strip().splitlines()) == 1
+    train_cli.main(base + ['--epochs', '2', '--resume'])
+    lines = open('results.txt').read().strip().splitlines()
+    assert len(lines) == 2, lines
+    # the resumed run trained exactly the second epoch (index 1 first col)
+    assert lines[-1].split()[0] == '1', lines[-1]

@@ -141,12 +141,12 @@ def test_multi_device_data_parallel(toy):
                    if l.kind == 'yolo']
     grad_fn, update_fn = make_train_functions(
         net, anchor_vecs, nc=2, hyp=LossHyp(), compute_dtype=None)
-    ts = init_train_state(params, state)
     imgs, tgt, valid = _batch(bs=8)
 
     with mesh:
-        ts_r = jax.tree_util.tree_map(lambda x: x, ts)
-        ts_r = replicate(mesh, ts_r)
+        # independent state per run: the step functions donate their input
+        # TrainState, and replicate() may alias buffers on the same devices
+        ts_r = replicate(mesh, init_train_state(params, state))
         imgs_s = shard_batch(mesh, imgs)
         ts2, items = grad_fn(ts_r, imgs_s, jnp.asarray(tgt),
                              jnp.asarray(valid), 1.0, 1.0)
@@ -157,7 +157,8 @@ def test_multi_device_data_parallel(toy):
     assert np.isfinite(np.asarray(items)).all()
 
     # single-device result must match the 8-way sharded result
-    ts2_1, items_1 = grad_fn(ts, jnp.asarray(imgs), jnp.asarray(tgt),
+    ts2_1, items_1 = grad_fn(init_train_state(params, state),
+                             jnp.asarray(imgs), jnp.asarray(tgt),
                              jnp.asarray(valid), 1.0, 1.0)
     np.testing.assert_allclose(np.asarray(items), np.asarray(items_1),
                                rtol=1e-4)

@@ -98,9 +98,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     n_batches = 0
     for imgs, tgt, valid, paths, shapes in loader:
         h, w = imgs.shape[1:3]
-        x = jnp.asarray(imgs, jnp.float32) / 256.0
-        if maxabsscaler:
-            x = x * 2.0 - 1.0
+        # uint8 across host->device, normalised on-device (runtime.preprocess)
+        from ..runtime import preprocess as _pre
+        x = _pre(imgs, maxabsscaler)
         t0 = time.perf_counter()
         dets, loss_items = infer(params, state, x, jnp.asarray(tgt),
                                  jnp.asarray(valid))

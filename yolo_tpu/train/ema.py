@@ -20,7 +20,9 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params, state) -> EMAState:
-    copy = lambda t: jax.tree_util.tree_map(lambda x: x, t)
+    # real copies, not aliases: the train step donates its TrainState, and
+    # donation rejects the same buffer appearing twice (params + ema.params)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
     return EMAState(updates=jnp.zeros((), jnp.int32), params=copy(params),
                     state=copy(state))
 

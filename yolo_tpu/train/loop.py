@@ -152,6 +152,30 @@ def run_training(opt: TrainOptions):
     ts = init_train_state(bundle.params, bundle.state,
                           optimizer='adam' if use_adam else 'sgd',
                           use_ema=opt.ema, qstate=bundle.qstate)
+
+    # resume: restore optimizer/epoch/best_fitness/results from the
+    # checkpoint (reference train.py:169-180)
+    start_epoch, resume_best, resume_results = 0, 0.0, ''
+    if opt.weights and str(opt.weights).endswith('.npz') and \
+            os.path.exists(opt.weights):
+        from ..utils.checkpoint import load_checkpoint
+        from .optim import AdamState, SGDState
+        ck = load_checkpoint(opt.weights)
+        if ck.get('epoch', -1) >= 0:
+            start_epoch = int(ck['epoch']) + 1
+            resume_best = float(ck.get('best_fitness', 0.0))
+            resume_results = ck.get('training_results', '')
+        if 'opt_state' in ck:
+            d = ck['opt_state']
+            if use_adam and 'm' in d:
+                ts = ts._replace(opt_state=AdamState(
+                    step=d['step'], m=d['m'], v=d['v']))
+            elif not use_adam and 'momentum_buf' in d:
+                ts = ts._replace(opt_state=SGDState(
+                    momentum_buf=d['momentum_buf']))
+        if 'ema' in ck and ts.ema is not None:
+            ts = ts._replace(ema=ts.ema._replace(params=ck['ema']))
+
     mesh = opt.device_mesh
     if mesh is not None:
         ts = replicate(mesh, ts)
@@ -188,7 +212,9 @@ def run_training(opt: TrainOptions):
     last = os.path.join(opt.weights_dir, 'last.npz')
     best = os.path.join(opt.weights_dir, 'best.npz')
     results = (0, 0, 0, 0, 0, 0, 0)
-    best_fitness = 0.0
+    best_fitness = resume_best
+    if resume_results and start_epoch > 0:
+        Path(opt.results_file).write_text(resume_results)
     maps = np.zeros(nc)
     t0 = time.time()
     rnd = random.Random(opt.seed)
@@ -198,9 +224,9 @@ def run_training(opt: TrainOptions):
     log(f'Starting training for {opt.epochs} epochs '
         f'({nb} batches/epoch, burn-in {n_burn})...')
 
-    ni = 0
+    ni = start_epoch * nb
     loss_scale = opt.batch_size / 64.0
-    for epoch in range(opt.epochs):
+    for epoch in range(start_epoch, opt.epochs):
         if dataset.image_weights:
             dataset.update_image_weights(nc, maps)
         mloss = np.zeros(4)

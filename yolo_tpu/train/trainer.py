@@ -37,6 +37,13 @@ class TrainState(NamedTuple):
 
 def init_train_state(params, bn_state, *, optimizer: str = 'sgd',
                      use_ema: bool = True, qstate=None) -> TrainState:
+    # deep-copy the inputs: the jitted step functions donate the TrainState
+    # (its buffers are reused in place), so the state chain must own its
+    # arrays — callers keep their originals
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    params = copy(params)
+    bn_state = copy(bn_state)
+    qstate = copy(qstate) if qstate is not None else None
     opt_init = sgd_init if optimizer == 'sgd' else adam_init
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     return TrainState(params=params, bn_state=bn_state,
@@ -87,7 +94,10 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
             loss = loss + kd_loss_fn(yolo_p, feats, targets, valid, imgs)
         return loss, (items, new_bn, new_q)
 
-    @jax.jit
+    # donate the TrainState: its buffers (params, momentum, EMA, grad
+    # accumulators — the largest HBM residents) are reused in place instead
+    # of copied every step
+    @partial(jax.jit, donate_argnums=(0,))
     def grad_fn(state: TrainState, imgs, targets, valid, gr, loss_scale):
         def scaled(params):
             loss, aux = loss_fn(params, state.bn_state, state.qstate, imgs,
@@ -112,7 +122,7 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
 
     opt_update = sgd_update if optimizer == 'sgd' else adam_update
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def update_fn(state: TrainState, scalars: PerGroupScalars):
         lbl = label_tree(state.params)
         new_params, new_opt = opt_update(state.params, state.grad_accum,
