@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument('--shortcut_way', type=int, default=1)
     p.add_argument('--gray_scale', action='store_true')
     p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--augment', action='store_true',
+                   help='test-time augmentation (flip + multi-scale merge)')
     p.add_argument('--quantizer_output', action='store_true',
                    help='dump per-layer FPGA cross-check artifacts')
     p.add_argument('--reorder', action='store_true')
@@ -61,7 +63,8 @@ def main(argv=None):
         bundle = bundle.fuse()
     infer = bundle.make_infer(conf_thres=opt.conf_thres,
                               iou_thres=opt.iou_thres,
-                              agnostic=opt.agnostic_nms)
+                              agnostic=opt.agnostic_nms,
+                              augment=opt.augment)
 
     if opt.quantizer_output:
         from yolo_tpu.compress.fpga_export import dump_quantizer_output

@@ -85,8 +85,30 @@ class ModelBundle:
                            maxabsscaler=self.maxabsscaler, _apply=apply)
 
     def make_infer(self, conf_thres=0.3, iou_thres=0.6, top_k=512,
-                   max_det=300, multi_label=True, agnostic=False):
-        """Jitted full pipeline: forward + decode + batched NMS."""
+                   max_det=300, multi_label=True, agnostic=False,
+                   augment=False):
+        """Jitted full pipeline: forward + decode + batched NMS.
+
+        ``augment`` = test-time augmentation (original + flip@0.83 + 0.67
+        scale merged before NMS; reference models.py:482-506)."""
+        if augment and self.quantized:
+            print('WARNING: --augment (TTA) is not supported with quantized '
+                  'inference; running single-pass')
+        if augment and not self.quantized:
+            from .models.network import make_augmented_apply
+            aug_apply = make_augmented_apply(
+                self.net, compute_dtype=self.compute_dtype,
+                maxabsscaler=self.maxabsscaler,
+                fused=(not self.state))
+
+            def fn(params, state, x):
+                io = aug_apply(params, state, x)
+                return non_max_suppression(
+                    io, conf_thres=conf_thres, iou_thres=iou_thres,
+                    top_k=top_k, max_det=max_det, multi_label=multi_label,
+                    agnostic=agnostic)
+            jfn = jax.jit(fn)
+            return lambda x: jfn(self.params, self.state, x)
         if self.quantized:
             def fn(params, state, qstate, x):
                 io, _, _ = self._apply(params, state, qstate, x, False)
