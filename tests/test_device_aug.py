@@ -49,18 +49,20 @@ def test_mosaic_geometry():
     imgs, targets, valid = _mk_batch(bs=bs, s=s)
     out, nt, nv = aug(imgs, targets, valid, jax.random.PRNGKey(1))
     o = np.asarray(out)
-    # the four corners of each output come from four different quadrants
-    # of the canvas; with solid-colour images the corner pixel values must
-    # each equal one of the batch colours
-    colours = {(i + 1) / (bs + 1) for i in range(bs)}
+    # every output pixel comes from the canvas (batch colours) or the grey
+    # border exposed by the random-window jitter
+    colours = {(i + 1) / (bs + 1) for i in range(bs)} | {PAD}
     for i in range(bs):
         vals = {round(float(o[i, 2, 2, 0]), 4), round(float(o[i, 2, -3, 0]), 4),
                 round(float(o[i, -3, 2, 0]), 4), round(float(o[i, -3, -3, 0]), 4)}
         for v in vals:
-            assert any(abs(v - c) < 1e-3 for c in colours), (i, vals)
-    # labels stay valid and inside [0,1]
+            assert any(abs(v - c) < 2e-3 for c in colours), (i, vals)
+    # the random window varies across steps (host mosaic's random centre)
+    o2 = np.asarray(aug(imgs, targets, valid, jax.random.PRNGKey(2))[0])
+    assert not np.allclose(o, o2)
+    # surviving labels stay inside [0,1]
     nt, nv = np.asarray(nt), np.asarray(nv)
-    assert nv.sum() >= bs  # every original box survives the centre crop
+    assert nv.sum() >= 1
     kept = nt[nv]
     assert (kept[:, 2:] >= 0).all() and (kept[:, 2:] <= 1).all()
 

@@ -77,6 +77,7 @@ def main(argv=None):
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
         t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
+        resume=opt.resume,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
     return run_training(topt)
 

@@ -84,12 +84,23 @@ def hsv_jitter(img, key, hgain, sgain, vgain):
 # affine warp
 # ---------------------------------------------------------------------------
 
-def _affine_matrix(key, src_hw, degrees, translate, scale, shear, border):
+def _affine_matrix(key, src_hw, degrees, translate, scale, shear, border,
+                   window_jitter: float = 0.0):
     """Forward 3x3 matrix M, reference random_affine composition
-    (S @ T @ R, transforms.py:104-113)."""
-    ka, ks, ktx, kty, ksx, ksy = jax.random.split(key, 6)
+    (S @ T @ R, transforms.py:104-113).
+
+    ``window_jitter`` adds a uniform +-jitter to the translation — the
+    device-mosaic equivalent of the host mosaic's random centre
+    (xc, yc ~ U(0.5s, 1.5s), datasets.py load_mosaic): without it the
+    default hyps (translate=0) would crop the same fixed canvas window
+    every step."""
+    ka, ks, ktx, kty, ksx, ksy, kwx, kwy = jax.random.split(key, 8)
     a = jax.random.uniform(ka, (), minval=-degrees, maxval=degrees)
     s = jax.random.uniform(ks, (), minval=1 - scale, maxval=1 + scale)
+    wx = jax.random.uniform(kwx, (), minval=-window_jitter,
+                            maxval=window_jitter)
+    wy = jax.random.uniform(kwy, (), minval=-window_jitter,
+                            maxval=window_jitter)
     rad = -a * jnp.pi / 180.0          # cv2.getRotationMatrix2D is ccw for +angle
     ca, sa = jnp.cos(rad) * s, jnp.sin(rad) * s
     cx, cy = src_hw[1] / 2.0, src_hw[0] / 2.0
@@ -100,9 +111,11 @@ def _affine_matrix(key, src_hw, degrees, translate, scale, shear, border):
     R = R.at[1, 2].set(sa * cx + (1 - ca) * cy)
     T = jnp.eye(3)
     T = T.at[0, 2].set(jax.random.uniform(ktx, (), minval=-translate,
-                                          maxval=translate) * src_hw[0] + border)
+                                          maxval=translate) * src_hw[0]
+                       + border + wx)
     T = T.at[1, 2].set(jax.random.uniform(kty, (), minval=-translate,
-                                          maxval=translate) * src_hw[1] + border)
+                                          maxval=translate) * src_hw[1]
+                       + border + wy)
     S = jnp.eye(3)
     S = S.at[0, 1].set(jnp.tan(jax.random.uniform(
         ksx, (), minval=-shear, maxval=shear) * jnp.pi / 180.0))
@@ -213,10 +226,13 @@ def make_device_augment(img_size: int, hyp: dict, *, mosaic: bool = True,
                                  t[:, 4] * s, t[:, 5] * s], 1)
             val = valid
 
-        # per-image affine
+        # per-image affine; mosaic adds the random-window jitter (+-s/2)
+        # standing in for the host mosaic's random centre
         keys = jax.random.split(k_aff, bs)
+        jitter = s / 2.0 if mosaic else 0.0
         Ms, ss = jax.vmap(lambda k: _affine_matrix(
-            k, src_hw, degrees, translate, scale, shear, border))(keys)
+            k, src_hw, degrees, translate, scale, shear, border,
+            window_jitter=jitter))(keys)
         if degrees == 0.0 and shear == 0.0:
             # M = [[sc,0,bx],[0,sc,by]] -> separable fast path
             out = jax.vmap(lambda im, M: _warp_scale_translate(
@@ -249,8 +265,8 @@ def make_device_augment(img_size: int, hyp: dict, *, mosaic: bool = True,
         val = val & keep
 
         # hsv jitter (shared gains per batch like the reference's per-item
-        # draw — one draw per step)
-        if hgain or sgain or vgain:
+        # draw — one draw per step); skipped for grayscale inputs
+        if (hgain or sgain or vgain) and out.shape[-1] == 3:
             out = hsv_jitter(out, k_hsv, hgain, sgain, vgain)
 
         # per-image lr flip

@@ -46,6 +46,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
     state={} are accepted via fused=True).
     """
+    from ..runtime import preprocess as _pre   # function-level: avoids cycle
     data_dict = parse_data_cfg(data)
     nc = 1 if single_cls else int(data_dict['classes'])
     names = load_classes(data_dict['names'])
@@ -99,7 +100,6 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     for imgs, tgt, valid, paths, shapes in loader:
         h, w = imgs.shape[1:3]
         # uint8 across host->device, normalised on-device (runtime.preprocess)
-        from ..runtime import preprocess as _pre
         x = _pre(imgs, maxabsscaler)
         t0 = time.perf_counter()
         dets, loss_items = infer(params, state, x, jnp.asarray(tgt),

@@ -76,6 +76,11 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
     fake-quantized with their tracker scales (here: true integer weights plus
     a dequantized f32 bias vector, which is what the fused epilogue adds).
     """
+    if cfg.scheme == 'tpsq':
+        raise NotImplementedError(
+            'prepare_int8 reads tracker scales from qstate; TPSQ stores its '
+            'scales as trainable params — export via the google/ptq_cos '
+            'schemes instead')
     arrays: dict[str, dict] = {}
     meta: dict[str, dict] = {}
     for lyr in net.layers:

@@ -79,6 +79,8 @@ class TrainOptions:
     log_fn: Any = print
     n_burn_override: int | None = None   # None = reference rule max(3*nb, 500)
     augment: bool = True                 # disable for deterministic tests
+    resume: bool = False                 # restore epoch/optimizer/EMA from
+                                         # the weights checkpoint
     device_aug: bool = False             # mosaic/affine/HSV/flip on the TPU
                                          # (host does decode+letterbox only;
                                          # see data/device_aug.py)
@@ -154,9 +156,12 @@ def run_training(opt: TrainOptions):
                           use_ema=opt.ema, qstate=bundle.qstate)
 
     # resume: restore optimizer/epoch/best_fitness/results from the
-    # checkpoint (reference train.py:169-180)
+    # checkpoint (reference train.py:169-180). Only when --resume was
+    # requested — plain --weights means "initialise from", not "continue":
+    # otherwise fine-tuning from a finished run's checkpoint would silently
+    # train zero epochs.
     start_epoch, resume_best, resume_results = 0, 0.0, ''
-    if opt.weights and str(opt.weights).endswith('.npz') and \
+    if opt.resume and opt.weights and str(opt.weights).endswith('.npz') and \
             os.path.exists(opt.weights):
         from ..utils.checkpoint import load_checkpoint
         from .optim import AdamState, SGDState
@@ -174,7 +179,11 @@ def run_training(opt: TrainOptions):
                 ts = ts._replace(opt_state=SGDState(
                     momentum_buf=d['momentum_buf']))
         if 'ema' in ck and ts.ema is not None:
-            ts = ts._replace(ema=ts.ema._replace(params=ck['ema']))
+            # restore the decay-ramp counter too — without it the first
+            # ema_update would blend the checkpointed EMA away (d ~ 5e-4)
+            ts = ts._replace(ema=ts.ema._replace(
+                params=ck['ema'],
+                updates=jnp.asarray(int(ck.get('ema_updates', 0)), jnp.int32)))
 
     mesh = opt.device_mesh
     if mesh is not None:
@@ -190,9 +199,10 @@ def run_training(opt: TrainOptions):
     if opt.augment and opt.device_aug:
         assert not opt.maxabsscaler, \
             'device_aug operates on [0,1] inputs (no --maxabsscaler)'
+        assert not opt.rect, \
+            'device_aug needs square letterboxed batches (no --rect)'
         from ..data.device_aug import make_device_augment
-        dev_aug = make_device_augment(img_size, hyp,
-                                      mosaic=not opt.rect)
+        dev_aug = make_device_augment(img_size, hyp, mosaic=True)
     loader = BatchLoader(dataset, opt.batch_size,
                          max_targets=opt.max_targets, shuffle=True,
                          drop_last=True, seed=opt.seed)
@@ -318,7 +328,9 @@ def run_training(opt: TrainOptions):
                             opt_state=None if final_epoch
                             else jax.device_get(ts.opt_state),
                             ema=None if ts.ema is None
-                            else jax.device_get(ts.ema.params))
+                            else jax.device_get(ts.ema.params),
+                            extra=None if ts.ema is None
+                            else {'ema_updates': int(ts.ema.updates)})
             if best_fitness == fi and not final_epoch:
                 save_checkpoint(best, params=jax.device_get(ts.params),
                                 state=jax.device_get(ts.bn_state),
