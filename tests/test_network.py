@@ -177,3 +177,20 @@ def test_decode_matches_reference_math():
     ref[..., :4] *= stride
     ref[..., 4:] = sigmoid(ref[..., 4:])
     np.testing.assert_allclose(io, ref.reshape(2, -1, 7), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_nhwc_matches_permuted_decode(repo_root):
+    """Transpose-free inference decode produces the same boxes as the
+    torch-layout decode, just in (y,x,a) instead of (a,y,x) order."""
+    import numpy as np
+    from yolo_tpu.models.yolo_head import (decode_yolo, decode_yolo_nhwc,
+                                           reshape_pred)
+    rng = np.random.RandomState(0)
+    bs, ny, nx, na, no = 2, 5, 7, 3, 9
+    x = jnp.asarray(rng.randn(bs, ny, nx, na * no).astype(np.float32))
+    anchors = np.array([[10, 13], [16, 30], [33, 23]], np.float32)
+    io_old = decode_yolo(reshape_pred(x, na, no), anchors, 16)
+    io_new = decode_yolo_nhwc(x, anchors, 16, no)
+    reord = np.asarray(io_old).reshape(bs, na, ny, nx, no) \
+        .transpose(0, 2, 3, 1, 4).reshape(bs, -1, no)
+    np.testing.assert_allclose(np.asarray(io_new), reord, rtol=1e-6, atol=1e-5)

@@ -26,7 +26,7 @@ import numpy as np
 from .. import ir as ir_mod
 from ..ops import activations as act_mod
 from ..ops import conv as conv_ops
-from .yolo_head import decode_yolo, reshape_pred
+from .yolo_head import decode_yolo, decode_yolo_nhwc, reshape_pred
 
 # BN hyper-params: per-conv BN (torch default eps, momentum=0.1,
 # reference models.py:100) vs standalone BatchNorm2d blocks
@@ -117,6 +117,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
     def apply(params, state, x, train: bool = False):
         outs: dict[int, Any] = {}
         yolo_p = []
+        head_out = []
         feature_out = []
         new_state = {}
         # inference keeps activations in the compute dtype end-to-end (HBM
@@ -217,6 +218,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
             elif lyr.kind == 'yolo':
                 p_raw = reshape_pred(prev, lyr.na, lyr.no)
                 yolo_p.append(p_raw)
+                head_out.append(prev)   # NHWC conv output for transpose-free decode
                 # prev intentionally unchanged (models.py:534-535)
 
             if lyr.is_routed:
@@ -231,9 +233,11 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         yi = 0
         for lyr in layers:
             if lyr.kind == 'yolo':
-                # decode in f32 regardless of compute dtype (box precision)
-                ios.append(decode_yolo(yolo_p[yi].astype(jnp.float32),
-                                       lyr.anchors, lyr.yolo_stride))
+                # decode in f32 regardless of compute dtype (box precision);
+                # straight from the NHWC head output so the (bs,na,ny,nx,no)
+                # permute in yolo_p is dead code unless a caller uses it
+                ios.append(decode_yolo_nhwc(head_out[yi], lyr.anchors,
+                                            lyr.yolo_stride, lyr.no))
                 yi += 1
         io = jnp.concatenate(ios, axis=1)
         return io, yolo_p, feature_out
