@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ir import NetworkIR
-from ..models.yolo_head import decode_yolo, reshape_pred
+from ..models.yolo_head import decode_yolo_nhwc, reshape_pred
 from ..ops import activations as act_mod
 from ..ops import conv as conv_ops
 
@@ -462,6 +462,7 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     def apply(params, state, qstate, x, train: bool = False):
         outs: dict[int, Any] = {}
         yolo_p = []
+        head_out = []
         feats = []
         new_state = dict(state)
         new_q = {k: dict(v) if isinstance(v, dict) else v
@@ -539,6 +540,7 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                                                prev, outs, train)
             elif lyr.kind == 'yolo':
                 yolo_p.append(reshape_pred(prev, lyr.na, lyr.no))
+                head_out.append(prev)
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass
 
@@ -554,8 +556,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         yi = 0
         for lyr in layers:
             if lyr.kind == 'yolo':
-                ios.append(decode_yolo(yolo_p[yi], lyr.anchors,
-                                       lyr.yolo_stride))
+                ios.append(decode_yolo_nhwc(head_out[yi], lyr.anchors,
+                                            lyr.yolo_stride, lyr.no))
                 yi += 1
         return jnp.concatenate(ios, axis=1), yolo_p, feats
 

@@ -47,7 +47,7 @@ from jax import lax
 from ..ir import NetworkIR
 from ..ops import activations as act_mod
 from ..ops import conv as conv_ops
-from ..models.yolo_head import decode_yolo, reshape_pred
+from ..models.yolo_head import decode_yolo_nhwc, reshape_pred
 from ..compress.quant import QuantConfig, qrange, round_half_away
 
 BN_EPS = 1e-5
@@ -203,6 +203,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan):
     def apply(arrays, x):
         outs: dict[int, Any] = {}
         yolo_p = []
+        head_out = []
         prev = ('f', x)
         for lyr in layers:
             k = str(lyr.index)
@@ -252,6 +253,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan):
                 pass
             elif lyr.kind == 'yolo':
                 yolo_p.append(reshape_pred(_as_float(prev), lyr.na, lyr.no))
+                head_out.append(_as_float(prev))
             if lyr.is_routed:
                 outs[lyr.index] = prev
 
@@ -259,8 +261,8 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan):
         yi = 0
         for lyr in layers:
             if lyr.kind == 'yolo':
-                ios.append(decode_yolo(yolo_p[yi], lyr.anchors,
-                                       lyr.yolo_stride))
+                ios.append(decode_yolo_nhwc(head_out[yi], lyr.anchors,
+                                            lyr.yolo_stride, lyr.no))
                 yi += 1
         return jnp.concatenate(ios, axis=1), yolo_p
 
