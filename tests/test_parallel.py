@@ -71,3 +71,15 @@ def test_dp_tp_matches_pure_dp(repo_root):
     for a, b in zip(p_dp, p_tp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_host_shard_partition():
+    """host_shard slices are disjoint and cover the list (DistributedSampler
+    replacement, reference train.py:267-280)."""
+    from yolo_tpu.parallel import host_shard
+    items = list(range(23))
+    shards = [host_shard(items, process_index=i, process_count=4)
+              for i in range(4)]
+    flat = sorted(x for s in shards for x in s)
+    assert flat == items
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1

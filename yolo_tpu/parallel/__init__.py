@@ -1,2 +1,4 @@
 from .mesh import (make_mesh, shard_batch, replicate, batch_sharding,  # noqa: F401
                    replicated_sharding, state_shardings, shard_state)
+from .multihost import (init_multihost, host_shard,  # noqa: F401
+                        global_batch_from_host_batches)
