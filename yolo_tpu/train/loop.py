@@ -251,6 +251,15 @@ def run_training(opt: TrainOptions):
             if opt.accumulate_override is not None:
                 accumulate = opt.accumulate_override
 
+            if ni == 0 and not opt.nosave:
+                # first-batch mosaic snapshot (reference train.py:468-474)
+                try:
+                    from ..utils.plots import plot_images
+                    plot_images(imgs, np.asarray(tgt)[np.asarray(valid)],
+                                paths=paths, fname='train_batch0.jpg')
+                except Exception as e:
+                    log(f'first-batch plot failed: {e}')
+
             x = preprocess(imgs, opt.maxabsscaler)
             if dev_aug is not None:
                 x, tgt, valid = dev_aug(x, jnp.asarray(tgt),
