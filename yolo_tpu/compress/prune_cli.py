@@ -46,11 +46,14 @@ def timed_forward(net, params, state, img_size=416, repeat=20, batch=16):
         io, _, _ = apply(p, s, x, train=False)
         return io
 
-    f(params, state, x).block_until_ready()  # compile
+    import numpy as np
+    # np.asarray forces a real device sync; block_until_ready proved
+    # unreliable through the axon tunnel (compile could leak into the loop)
+    np.asarray(f(params, state, x))
     t0 = time.perf_counter()
     for _ in range(repeat):
         out = f(params, state, x)
-    out.block_until_ready()
+    np.asarray(out)
     return (time.perf_counter() - t0) / repeat
 
 

@@ -104,11 +104,10 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         t0 = time.perf_counter()
         dets, loss_items = infer(params, state, x, jnp.asarray(tgt),
                                  jnp.asarray(valid))
-        dets.block_until_ready()
+        det_list = to_host_detections(dets)   # np conversion = real sync
         t_inf += time.perf_counter() - t0
         val_loss += np.asarray(loss_items)
         n_batches += 1
-        det_list = to_host_detections(dets)
 
         tgt = np.asarray(tgt)[np.asarray(valid)]
         for si in range(len(paths)):
