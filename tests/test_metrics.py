@@ -65,3 +65,18 @@ def test_coco91_mapping():
     m = coco80_to_coco91_class()
     assert len(m) == 80
     assert m[0] == 1 and m[-1] == 90 and 12 not in m and 91 not in m
+
+
+def test_match_predictions_multiclass_no_early_break():
+    """The per-image match loop must only stop when ALL of the image's
+    targets are matched — not when the cross-class detected count happens to
+    equal one class's target count (regression: 2x class-0 + 3x class-1 with
+    5 perfect predictions must yield 5 TPs)."""
+    import numpy as np
+    from yolo_tpu.eval.metrics import match_predictions
+    boxes = np.array([[0, 0, 10, 10], [20, 0, 30, 10], [40, 0, 50, 10],
+                      [60, 0, 70, 10], [80, 0, 90, 10]], np.float64)
+    cls = np.array([0, 0, 1, 1, 1], np.float64)
+    pred = np.concatenate([boxes, np.full((5, 1), 0.9), cls[:, None]], 1)
+    correct = match_predictions(pred, cls, boxes, np.array([0.5]))
+    assert correct.all(), correct.ravel()

@@ -24,7 +24,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, pr_score: float = 0.1):
 
     tp: (n, niou) bool; conf, pred_cls: (n,); target_cls: (m,).
     Returns (p, r, ap, f1, unique_classes) with shapes (nc_present, niou)."""
-    tp = np.atleast_2d(np.asarray(tp))
+    tp = np.asarray(tp)
+    if tp.ndim == 1:                 # niou=1 vector form -> (n, 1)
+        tp = tp.reshape(-1, 1)
     conf = np.asarray(conf)
     pred_cls = np.asarray(pred_cls)
     target_cls = np.asarray(target_cls)
@@ -33,7 +35,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, pr_score: float = 0.1):
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     unique_classes = np.unique(target_cls)
 
-    niou = tp.shape[1] if tp.ndim == 2 else 1
+    niou = tp.shape[1]
     shape = (len(unique_classes), niou)
     ap, p, r = np.zeros(shape), np.zeros(shape), np.zeros(shape)
     for ci, c in enumerate(unique_classes):
@@ -79,16 +81,8 @@ def match_predictions(pred, target_cls, target_boxes, iouv):
         pi = np.nonzero(pred[:, 5] == c)[0]
         if not len(pi):
             continue
-        # pairwise IoU (np): (len(pi), len(ti))
-        b1 = pred[pi, :4]
-        b2 = target_boxes[ti]
-        area1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
-        area2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
-        lt = np.maximum(b1[:, None, :2], b2[None, :, :2])
-        rb = np.minimum(b1[:, None, 2:], b2[None, :, 2:])
-        wh = np.clip(rb - lt, 0, None)
-        inter = wh[..., 0] * wh[..., 1]
-        iou = inter / (area1[:, None] + area2[None] - inter + 1e-16)
+        from ..ops.boxes import box_iou_matrix_np
+        iou = box_iou_matrix_np(pred[pi, :4], target_boxes[ti])
         best = iou.argmax(1)
         best_iou = iou.max(1)
         for j in np.nonzero(best_iou > iouv[0])[0]:
@@ -96,7 +90,9 @@ def match_predictions(pred, target_cls, target_boxes, iouv):
             if d not in detected:
                 detected.add(d)
                 correct[pi[j]] = best_iou[j] > iouv
-                if len(detected) == len(ti):
+                # all targets of the IMAGE matched (reference test.py:158
+                # breaks on the total label count, not the per-class count)
+                if len(detected) == len(target_cls):
                     break
     return correct
 

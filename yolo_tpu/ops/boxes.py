@@ -80,6 +80,19 @@ def box_iou_matrix(box1, box2):
     return inter / (area1[:, None] + area2[None, :] - inter + EPS)
 
 
+def box_iou_matrix_np(box1, box2):
+    """Numpy twin of box_iou_matrix for host-side evaluation loops
+    (same eps convention)."""
+    import numpy as np
+    area1 = (box1[:, 2] - box1[:, 0]) * (box1[:, 3] - box1[:, 1])
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1])
+    lt = np.maximum(box1[:, None, :2], box2[None, :, :2])
+    rb = np.minimum(box1[:, None, 2:], box2[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area1[:, None] + area2[None, :] - inter + EPS)
+
+
 def wh_iou(wh1, wh2):
     """IoU of width-height pairs assuming shared centre: (N,2),(M,2)->(N,M)."""
     wh1 = wh1[:, None]

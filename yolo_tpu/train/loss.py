@@ -42,7 +42,8 @@ class LossHyp(NamedTuple):
     def from_dict(cls, hyp: dict, nc: int | None = None):
         h = cls(giou=hyp['giou'], cls=hyp['cls'], cls_pw=hyp['cls_pw'],
                 obj=hyp['obj'], obj_pw=hyp['obj_pw'], iou_t=hyp['iou_t'],
-                fl_gamma=hyp.get('fl_gamma', 0.0))
+                fl_gamma=hyp.get('fl_gamma', 0.0),
+                smooth_eps=hyp.get('smooth_eps', 0.0))
         if nc is not None:
             # hyp['cls'] *= nc / 80 (reference train.py:87)
             h = h._replace(cls=h.cls * nc / 80.0)
@@ -189,7 +190,14 @@ def pad_targets(labels_list, max_t: int):
             rows.append(np.concatenate(
                 [np.full((len(lab), 1), img_i, np.float32), lab], axis=1))
     if rows:
-        cat = np.concatenate(rows, axis=0)[:max_t]
+        cat = np.concatenate(rows, axis=0)
+        if len(cat) > max_t:
+            # dropped boxes train their cells toward background — surface it
+            import warnings
+            warnings.warn(
+                f'pad_targets: {len(cat) - max_t} of {len(cat)} labels '
+                f'truncated (raise --max-targets)', stacklevel=2)
+            cat = cat[:max_t]
     else:
         cat = np.zeros((0, 6), np.float32)
     out = np.zeros((max_t, 6), np.float32)
