@@ -89,3 +89,18 @@ def test_engine_weights_are_int8(toy):
     for k, v in plan.arrays.items():
         if 'w8' in v:
             assert v['w8'].dtype == jnp.int8
+
+
+def test_engine_pallas_backend_matches_xla(toy):
+    """The fused Pallas conv backend must reproduce the lax conv path
+    bit-exactly on the decoded outputs (same integer arithmetic)."""
+    net, params, state = toy
+    cfg, _, qs, x = _calibrated(net, params, state)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    io_xla, _ = jax.jit(make_int8_apply(net, plan, backend='xla'))(
+        plan.arrays, x)
+    io_pal, _ = jax.jit(make_int8_apply(net, plan, backend='pallas',
+                                        pallas_interpret=True))(
+        plan.arrays, x)
+    np.testing.assert_allclose(np.asarray(io_pal), np.asarray(io_xla),
+                               rtol=1e-5, atol=1e-4)

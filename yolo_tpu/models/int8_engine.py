@@ -139,18 +139,46 @@ def _requant(t, scale, bits):
     return ('q', jnp.clip(y, qmin, qmax).astype(jnp.int8), scale)
 
 
-def make_int8_apply(net: NetworkIR, plan: Int8Plan):
-    """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only."""
+def _on_tpu() -> bool:
+    return jax.default_backend() == 'tpu'
+
+
+def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
+                    pallas_interpret: bool = False):
+    """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only.
+
+    backend: 'auto' routes every supported conv (1x1 s1 / 3x3 s1,s2, same
+    padding, ungrouped) through the fused Pallas kernel when running on TPU
+    (ops/pallas_conv.py — int8 HBM edges with no XLA layout assignment in
+    the conv path); 'pallas' forces it (use pallas_interpret=True off-TPU);
+    'xla' keeps every conv on lax.conv_general_dilated.
+    """
+    from ..ops import pallas_conv
     layers = net.layers
     bits = plan.a_bits
     qmin, qmax = qrange(bits, True)
     meta = plan.meta
+    if backend not in ('auto', 'pallas', 'xla'):
+        raise ValueError(f'unknown int8 backend {backend!r}')
+    use_pallas = (backend == 'pallas'
+                  or (backend == 'auto' and _on_tpu()))
 
     def conv_i8(lyr, arr, t):
         stride = lyr.stride_xy or lyr.stride
         m = meta[str(lyr.index)]
         pad = [(lyr.pad, lyr.pad)] * 2
         if t[0] == 'q':
+            s_int = stride if isinstance(stride, int) else stride[0]
+            if (use_pallas and not isinstance(stride, (tuple, list))
+                    and pallas_conv.supported(lyr.size, s_int, lyr.pad,
+                                              lyr.groups)):
+                q = pallas_conv.fused_conv_int8(
+                    t[1], arr['w8'], arr['bias'],
+                    jnp.float32(t[2] * m['sw']), jnp.float32(m['sa']),
+                    stride=s_int, act=lyr.activation,
+                    maxabs=plan.maxabsscaler, out_q=True, bits=bits,
+                    interpret=pallas_interpret)
+                return ('q', q, m['sa'])
             y = lax.conv_general_dilated(
                 t[1], arr['w8'], (stride, stride) if isinstance(stride, int)
                 else tuple(stride), pad,
