@@ -100,7 +100,8 @@ def test_engine_pallas_backend_matches_xla(toy):
     io_xla, _ = jax.jit(make_int8_apply(net, plan, backend='xla'))(
         plan.arrays, x)
     io_pal, _ = jax.jit(make_int8_apply(net, plan, backend='pallas',
-                                        pallas_interpret=True))(
+                                        pallas_interpret=True,
+                                        pallas_min_hw=0))(
         plan.arrays, x)
     np.testing.assert_allclose(np.asarray(io_pal), np.asarray(io_xla),
                                rtol=1e-5, atol=1e-4)

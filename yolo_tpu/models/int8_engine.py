@@ -144,14 +144,21 @@ def _on_tpu() -> bool:
 
 
 def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
-                    pallas_interpret: bool = False):
+                    pallas_interpret: bool = False,
+                    pallas_min_hw: int = 152):
     """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only.
 
-    backend: 'auto' routes every supported conv (1x1 s1 / 3x3 s1,s2, same
-    padding, ungrouped) through the fused Pallas kernel when running on TPU
-    (ops/pallas_conv.py — int8 HBM edges with no XLA layout assignment in
-    the conv path); 'pallas' forces it (use pallas_interpret=True off-TPU);
-    'xla' keeps every conv on lax.conv_general_dilated.
+    backend: 'auto'/'pallas' route supported convs (1x1 s1 / 3x3 s1,s2,
+    same padding, ungrouped) through the fused Pallas kernel
+    (ops/pallas_conv.py) when the input feature map is at least
+    ``pallas_min_hw`` pixels; smaller maps stay on XLA's s8 conv. Measured
+    on v5e @608 bs=64: XLA's composed s8 convs are fastest on deep layers
+    (~196 TOP/s in uniform chains) but its layout assignment inserts GBs of
+    s32/s8 relayout copies on the high-resolution early stages, where the
+    Pallas kernel's fixed row-major layouts win. 'auto' only engages on
+    TPU; 'pallas' forces the kernel everywhere it applies (use
+    pallas_interpret=True off-TPU, and pallas_min_hw=0 in tests to cover
+    every conv); 'xla' keeps every conv on lax.conv_general_dilated.
     """
     from ..ops import pallas_conv
     layers = net.layers
@@ -170,6 +177,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         if t[0] == 'q':
             s_int = stride if isinstance(stride, int) else stride[0]
             if (use_pallas and not isinstance(stride, (tuple, list))
+                    and min(t[1].shape[1], t[1].shape[2]) >= pallas_min_hw
                     and pallas_conv.supported(lyr.size, s_int, lyr.pad,
                                               lyr.groups)):
                 q = pallas_conv.fused_conv_int8(

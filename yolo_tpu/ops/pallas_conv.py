@@ -16,16 +16,33 @@ layer's activation scale — utils/quantized/quantized_google.py
 round-half-away-from-zero, saturating to [-2^{b-1}, 2^{b-1}-1].
 
 Design (one pallas_call per conv layer):
-  - grid = (batch, H_out / TILE_H, Cout / TILE_CO); TILE_CO = 128.
-  - conv = sum over the K*K taps of a (TILE_H*W_out, Cin) x (Cin, TILE_CO)
-    int8 matmul with s32 accumulation — each tap reads a shifted (and for
-    stride 2, decimated) window of the input rows held in VMEM.
-  - input x is zero-padded once in XLA (cheap elementwise copy) so the
-    kernel's row/column windows are always in bounds; the kernel DMAs the
-    row slab for the current (batch, row-block) from HBM into a two-slot
-    VMEM scratch, prefetching the next slab while computing (double
-    buffering, overlapped with the MXU work).
-  - weights/bias ride normal BlockSpec pipelining over the Cout grid dim.
+  - Everything is lowered to a stride-1 VALID conv: sum over the K*K taps
+    of a (tile_h, W_T, Cin) x (Cin, TILE_CO) int8 matmul with s32
+    accumulation, each tap reading a shifted window of the input row slab
+    in VMEM.
+  - Stride-2 convs are rewritten as stride-1 2x2 convs over a
+    space-to-depth input (4*Cin phase channels, weights rearranged to
+    match) — both transforms are cheap XLA int8 copies done in the
+    wrapper. This also quadruples the MXU contraction depth for the
+    shallow early layers.
+  - The wrapper zero-pads x spatially and gathers it into non-overlapping
+    halo row slabs of shape (N * n_row_blocks, tile_h + K - 1, W_pad, Cin)
+    in one XLA int8 copy (~(K-1)/tile_h duplication). Halo windows then
+    align with block boundaries, so plain BlockSpec pipelining streams
+    them HBM->VMEM with Mosaic's automatic double buffering.
+  - grid = (N * n_row_blocks, Cout / TILE_CO); weights/bias/scales ride
+    BlockSpec pipelining over the Cout grid dim; the output index map
+    scatters row blocks back into the (N, H_out, W_T, Cout) result, whose
+    W_T / Cout padding is sliced off in XLA.
+
+Mosaic constraints probed on v5e (2026-08), which shape this design:
+  - manual ANY->VMEM DMA under a grid crashes the compiler -> BlockSpec
+    pipelining over pre-gathered slabs instead;
+  - int8 dot operands with an odd second-minor (sublane) dim and a
+    contraction (lane) dim < 128 crash the compiler -> W_T is padded to a
+    multiple of 8 and the kernel computes/stores the padded width;
+  - the reshape-based column decimation for strided windows crashes the
+    compiler for int8 regardless of alignment -> space-to-depth instead.
 
 Supported: groups == 1, kernel 1x1 (stride 1) and 3x3 (stride 1 or 2),
 'same' padding (pad = K // 2) — exactly the conv population of the
@@ -45,19 +62,40 @@ from jax.experimental.pallas import tpu as pltpu
 from . import activations as act_mod
 
 TILE_CO_MAX = 128
-ACC_BUDGET_BYTES = 4 * 1024 * 1024  # f32 accumulator tile cap
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of the 16 MiB scoped-vmem limit
 
 
 def _round_half_away(x):
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
-def _pick_tile_h(h_out: int, w_out: int, tile_co: int) -> int:
-    """Largest divisor of h_out whose f32 accumulator tile fits the budget."""
-    cap = max(1, ACC_BUDGET_BYTES // (w_out * tile_co * 4))
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _vmem_est(d: int, w_t: int, tile_co: int, cin: int, w_alloc: int,
+              k: int) -> int:
+    """Estimate the kernel's VMEM stack for a tile_h of ``d``, in padded
+    (lane 128 / sublane 8 f32, 32 int8) tile units: pipelined input slabs
+    (x2) plus the in-kernel halo concat, two output buffers, the s32
+    accumulator, and ~two tap-window temporaries."""
+    co_p = _round_up(tile_co, 128)
+    cin_p = _round_up(cin, 128)
+    slab = (d + k - 1) * _round_up(w_alloc, 32) * cin_p           # int8
+    out = d * _round_up(w_t, 32) * co_p                           # int8
+    acc = d * _round_up(w_t, 8) * co_p * 4                        # s32
+    win = d * _round_up(w_t, 32) * cin_p                          # int8
+    return 3 * slab + 2 * out + acc + 2 * win
+
+
+def _pick_tile_h(h_out: int, w_t: int, tile_co: int, cin: int,
+                 w_alloc: int, k: int) -> int:
+    """Largest divisor of h_out whose estimated VMEM stack fits the budget."""
     best = 1
     for d in range(1, h_out + 1):
-        if h_out % d == 0 and d <= cap:
+        if (h_out % d == 0
+                and _vmem_est(d, w_t, tile_co, cin, w_alloc, k)
+                <= VMEM_BUDGET_BYTES):
             best = d
     return best
 
@@ -67,61 +105,55 @@ def supported(k: int, stride: int, pad: int, groups: int) -> bool:
             and ((k == 1 and stride == 1) or (k == 3 and stride in (1, 2))))
 
 
-def _kernel(scale_ref, oinv_ref, x_hbm, w_ref, b_ref, o_ref, xs, sem, *,
-            k: int, s: int, tile_h: int, w_out: int, cin: int, tile_co: int,
-            rows_alloc: int, n_chunks: int, act: str, maxabs: bool,
-            out_q: bool, qmin: int, qmax: int, out_dtype):
-    b = pl.program_id(0)
-    hb = pl.program_id(1)
-    cob = pl.program_id(2)
-    n_hb = pl.num_programs(1)
-    step = b * n_hb + hb
-
-    def dma(slot, st):
-        bb = st // n_hb
-        row0 = (st % n_hb) * (tile_h * s)
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(row0, rows_alloc)], xs.at[slot], sem.at[slot])
-
-    slot = jax.lax.rem(step, 2)
-
-    @pl.when(cob == 0)
-    def _():
-        @pl.when(step == 0)
-        def _():
-            dma(slot, step).start()
-
-        @pl.when(step + 1 < n_chunks)
-        def _():
-            dma(jax.lax.rem(step + 1, 2), step + 1).start()
-
-        dma(slot, step).wait()
-
-    xv = xs[slot]                                   # (rows_alloc, W_al, Cin)
-    acc = jnp.zeros((tile_h * w_out, tile_co), jnp.int32)
+def _kernel(scale_ref, oinv_ref, x_ref, *rest, k: int, tile_h: int,
+            w_t: int, cin: int, tile_co: int, n_halo: int, act: str,
+            maxabs: bool, out_q: bool, qmin: int, qmax: int, out_dtype):
+    halo = rest[:n_halo]            # n_halo x (1, 1, w_alloc, cin) row blocks
+    w_ref, b_ref, o_ref = rest[n_halo:n_halo + 3]
+    if n_halo:
+        xv = jnp.concatenate([x_ref[0]] + [h[0] for h in halo], axis=0)
+    else:
+        xv = x_ref[0]                              # (tile_h+k-1, w_alloc, cin)
+    acc = jnp.zeros((tile_h, w_t, tile_co), jnp.int32)
     for ky in range(k):
-        if s == 1:
-            rows = xv[ky:ky + tile_h]
-        else:   # decimate rows: pick ky + s*t for t in [0, tile_h)
-            rows = xv[ky:ky + s * tile_h].reshape(tile_h, s, -1, cin)[:, 0]
+        rows = xv[ky:ky + tile_h]
         for kx in range(k):
-            if s == 1:
-                win = rows[:, kx:kx + w_out]
-            else:   # decimate cols: pick kx + s*u for u in [0, w_out)
-                win = (rows[:, kx:kx + s * w_out]
-                       .reshape(tile_h, w_out, s, cin)[:, :, 0])
+            win = rows[:, kx:kx + w_t]
             acc = acc + jax.lax.dot_general(
-                win.reshape(tile_h * w_out, cin), w_ref[ky, kx],
-                (((1,), (0,)), ((), ())),
+                win, w_ref[ky, kx], (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
     y = acc.astype(jnp.float32) * scale_ref[0, 0] + b_ref[0]
     y = act_mod.get(act, maxabs)(y)
     if out_q:
         q = jnp.clip(_round_half_away(y * oinv_ref[0, 0]), qmin, qmax)
-        o_ref[0] = q.astype(jnp.int8).reshape(tile_h, w_out, tile_co)
+        o_ref[0] = q.astype(jnp.int8)
     else:
-        o_ref[0] = y.astype(out_dtype).reshape(tile_h, w_out, tile_co)
+        o_ref[0] = y.astype(out_dtype)
+
+
+def _space_to_depth_conv(x8, w8):
+    """Rewrite a 3x3 stride-2 'same' conv as a 2x2 stride-1 VALID conv:
+    x -> space-to-depth phase channels (py, px, c); the 3x3 kernel, zero-
+    padded to 4x4, splits into 2x2 taps over those phases."""
+    n, h, w, cin = x8.shape
+    _, _, _, cout = w8.shape
+    h_out, w_out = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    hp, wp = 2 * (h_out + 1), 2 * (w_out + 1)
+    xp = jnp.pad(x8, ((0, 0), (1, hp - h - 1), (1, wp - w - 1), (0, 0)))
+    x2 = (xp.reshape(n, hp // 2, 2, wp // 2, 2, cin)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(n, hp // 2, wp // 2, 4 * cin))
+    w4 = jnp.zeros((2, 2, 4 * cin, cout), w8.dtype)
+    for ky2 in range(2):
+        for kx2 in range(2):
+            for py in range(2):
+                for px in range(2):
+                    ky, kx = 2 * ky2 + py, 2 * kx2 + px
+                    if ky < 3 and kx < 3:
+                        c0 = (py * 2 + px) * cin
+                        w4 = w4.at[ky2, kx2, c0:c0 + cin].set(w8[ky, kx])
+    return x2, w4, h_out, w_out
 
 
 @functools.partial(
@@ -143,63 +175,103 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
     p = k // 2
     if not supported(k, stride, p, 1):
         raise ValueError(f'unsupported conv for pallas kernel: k={k} s={stride}')
-    h_out = (h + 2 * p - k) // stride + 1
-    w_out = (w + 2 * p - k) // stride + 1
+
+    # normalise to a stride-1 VALID conv on x_eff / w_eff
+    if stride == 2:
+        x_eff, w_eff, h_out, w_out = _space_to_depth_conv(x8, w8)
+        k_eff, cin_eff = 2, 4 * cin
+    else:
+        h_out = (h + 2 * p - k) // stride + 1
+        w_out = (w + 2 * p - k) // stride + 1
+        x_eff = jnp.pad(x8, ((0, 0), (p, p), (p, p), (0, 0))) if p else x8
+        w_eff, k_eff, cin_eff = w8, k, cin
 
     # pad Cout up to the tile; zero channels are sliced off below
     tile_co = min(cout, TILE_CO_MAX)
     co_pad = -cout % tile_co
     if co_pad:
-        w8 = jnp.pad(w8, ((0, 0),) * 3 + ((0, co_pad),))
+        w_eff = jnp.pad(w_eff, ((0, 0),) * 3 + ((0, co_pad),))
         bias = jnp.pad(bias, (0, co_pad))
     cout_p = cout + co_pad
 
-    tile_h = _pick_tile_h(h_out, w_out, tile_co)
-    rows_alloc = stride * tile_h + k - 1
-    # spatial zero-pad; the extra (stride-1) tail keeps every kernel window
-    # slice in bounds (the decimation reshape reads, then discards, it)
-    xp = jnp.pad(x8, ((0, 0), (p, p + stride - 1), (p, p + stride - 1),
-                      (0, 0)))
-    w_alloc = xp.shape[2]
+    # compute width padded to a sublane multiple (odd-width int8 dot
+    # operands crash Mosaic); the extra columns are sliced off below
+    w_t = _round_up(w_out, 8)
+    w_alloc = max(x_eff.shape[2], w_t + k_eff - 1)
+    if w_alloc > x_eff.shape[2]:
+        x_eff = jnp.pad(x_eff, ((0, 0), (0, 0),
+                                (0, w_alloc - x_eff.shape[2]), (0, 0)))
 
+    tile_h = _pick_tile_h(h_out, w_t, tile_co, cin_eff, w_alloc, k_eff)
+    rows = tile_h + k_eff - 1
     n_hb = h_out // tile_h
+
+    # Row blocking reads x directly through BlockSpecs — no gather copy.
+    # The main block carries tile_h rows; each of the (k-1) halo rows is a
+    # separate single-row operand of the SAME array whose index map points
+    # just past the main block. x must hold n_hb*tile_h + k - 1 rows.
+    need_h = n_hb * tile_h + k_eff - 1
+    if x_eff.shape[1] < need_h:
+        x_eff = jnp.pad(x_eff, ((0, 0), (0, need_h - x_eff.shape[1]),
+                                (0, 0), (0, 0)))
+    n_halo = 0 if n_hb == 1 else k_eff - 1
+
     n_cob = cout_p // tile_co
     qmin, qmax = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
     out_dtype = jnp.int8 if out_q else jnp.float32
 
     kern = functools.partial(
-        _kernel, k=k, s=stride, tile_h=tile_h, w_out=w_out, cin=cin,
-        tile_co=tile_co, rows_alloc=rows_alloc, n_chunks=n * n_hb, act=act,
-        maxabs=maxabs, out_q=out_q, qmin=qmin, qmax=qmax, out_dtype=out_dtype)
+        _kernel, k=k_eff, tile_h=tile_h, w_t=w_t, cin=cin_eff,
+        tile_co=tile_co, n_halo=n_halo, act=act, maxabs=maxabs, out_q=out_q,
+        qmin=qmin, qmax=qmax, out_dtype=out_dtype)
 
     scale2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     oinv2 = (jnp.float32(1.0)
              / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
 
+    if n_hb == 1:
+        x_specs = [pl.BlockSpec((1, rows, w_alloc, cin_eff),
+                                lambda i, j: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+        x_args = [x_eff[:, :rows]]
+    else:
+        x_specs = [pl.BlockSpec(
+            (1, tile_h, w_alloc, cin_eff),
+            lambda i, j: (i // n_hb, i % n_hb, 0, 0),
+            memory_space=pltpu.VMEM)]
+        x_specs += [
+            pl.BlockSpec((1, 1, w_alloc, cin_eff),
+                         functools.partial(
+                             lambda i, j, r: (i // n_hb,
+                                              (i % n_hb + 1) * tile_h + r,
+                                              0, 0), r=r),
+                         memory_space=pltpu.VMEM)
+            for r in range(n_halo)]
+        x_args = [x_eff] * (1 + n_halo)
+
     out = pl.pallas_call(
         kern,
-        grid=(n, n_hb, n_cob),
+        grid=(n * n_hb, n_cob),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((k, k, cin, tile_co), lambda b, i, j: (0, 0, 0, j),
+            *x_specs,
+            pl.BlockSpec((k_eff, k_eff, cin_eff, tile_co),
+                         lambda i, j: (0, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_co), lambda b, i, j: (0, j),
+            pl.BlockSpec((1, tile_co), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w_out, tile_co),
-                               lambda b, i, j: (b, i, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout_p), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows_alloc, w_alloc, cin), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w_t, tile_co),
+            lambda i, j: (i // n_hb, i % n_hb, 0, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_t, cout_p), out_dtype),
         interpret=interpret,
-    )(scale2, oinv2, xp, w8, bias.astype(jnp.float32).reshape(1, -1))
-    if co_pad:
-        out = out[..., :cout]
+    )(scale2, oinv2, *x_args, w_eff,
+      bias.astype(jnp.float32).reshape(1, -1))
+    if co_pad or w_t != w_out:
+        out = out[:, :, :w_out, :cout]
     return out
