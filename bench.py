@@ -27,13 +27,18 @@ def main():
     import jax.numpy as jnp
     from yolo_tpu.ir import build_ir
     from yolo_tpu.models.network import init_params, make_apply, fuse_params
-    from yolo_tpu.ops.nms import non_max_suppression
+    from yolo_tpu.ops.nms import non_max_suppression_heads
 
     root = os.path.dirname(os.path.abspath(__file__))
     net = build_ir(os.path.join(root, 'cfg/yolov3/yolov3.cfg'))
     params, state = init_params(jax.random.PRNGKey(0), net)
     fused = fuse_params(net, params, state)
-    apply = make_apply(net, compute_dtype=jnp.bfloat16, fused=True)
+    apply = make_apply(net, compute_dtype=jnp.bfloat16, fused=True,
+                       heads_only=True)
+    yolos = [l for l in net.layers if l.kind == 'yolo']
+    anchors = [l.anchors for l in yolos]
+    strides = [l.yolo_stride for l in yolos]
+    no = net.nc + 5
 
     # throughput-optimal serving batch on v5e (sweep: bs=8 -> 508 img/s,
     # 64 -> 600, 128 -> 724, 256 -> 742; 128 picked as the knee — past it
@@ -42,9 +47,11 @@ def main():
 
     @jax.jit
     def pipeline(params, x):
-        io, _, _ = apply(params, {}, x, train=False)
-        return non_max_suppression(io, conf_thres=0.3, iou_thres=0.6,
-                                   top_k=256, max_det=100)
+        heads = apply(params, {}, x, train=False)
+        # sparse-decode NMS: obj-logit top-k per scale, decode survivors
+        return non_max_suppression_heads(
+            heads, anchors, strides, no, conf_thres=0.3, iou_thres=0.6,
+            top_k=256, max_det=100)
 
     x = jnp.asarray(np.random.RandomState(0).rand(bs, size, size, 3)
                     .astype(np.float32))

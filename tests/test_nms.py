@@ -138,3 +138,63 @@ def test_nms_fixpoint_equals_sequential_greedy():
         expect = np.sort(obj[kept])[::-1]
         got = np.sort(out[0][:, 4])[::-1] if out[0] is not None else np.zeros(0)
         np.testing.assert_allclose(got, expect, rtol=1e-5, err_msg=f'trial {trial}')
+
+
+def test_heads_path_matches_dense_path():
+    """Sparse-decode NMS (non_max_suppression_heads) must produce the same
+    detections as the dense io path when the candidate buffers don't
+    overflow (exact top-k on CPU)."""
+    import jax
+    from yolo_tpu.models.yolo_head import decode_yolo_nhwc
+    from yolo_tpu.ops.nms import non_max_suppression_heads
+
+    rng = np.random.RandomState(3)
+    bs, nc, na = 2, 4, 3
+    no = nc + 5
+    shapes = [(8, 8, 32), (16, 16, 16)]          # (ny, nx, stride)
+    anchors = [np.array([[80, 90], [120, 60], [200, 200]], np.float32),
+               np.array([[20, 30], [40, 25], [60, 60]], np.float32)]
+
+    heads, ios = [], []
+    for (ny, nx, stride), anc in zip(shapes, anchors):
+        x = rng.uniform(-9, -5, (bs, ny, nx, na * no)).astype(np.float32)
+        # sprinkle confident boxes: high obj + one or two strong classes
+        for b in range(bs):
+            for _ in range(12):
+                yy, xx, aa = (rng.randint(ny), rng.randint(nx),
+                              rng.randint(na))
+                base = aa * no
+                x[b, yy, xx, base:base + 4] = rng.uniform(-1, 1, 4)
+                x[b, yy, xx, base + 4] = rng.uniform(2.0, 5.0)       # obj
+                ci = rng.randint(nc)
+                x[b, yy, xx, base + 5 + ci] = rng.uniform(2.0, 5.0)  # cls
+        x = jnp.asarray(x)
+        heads.append(x)
+        ios.append(decode_yolo_nhwc(x, jnp.asarray(anc), stride, no))
+
+    io = jnp.concatenate(ios, axis=1)
+    kw = dict(conf_thres=0.3, iou_thres=0.5, top_k=64, max_det=32)
+    dense = np.asarray(non_max_suppression(io, **kw))
+    strides = [s for (_, _, s) in shapes]
+    sparse = np.asarray(jax.jit(
+        lambda hs: non_max_suppression_heads(
+            hs, anchors, strides, no, **kw))(heads))
+
+    # both paths produce score-sorted fixed-slot outputs; crafted boxes are
+    # tie-free so the slot order must agree exactly
+    assert (dense[..., 4] > 0).sum() > 8      # the test actually detects
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_make_infer_sparse_wiring(repo_root):
+    """ModelBundle.make_infer(sparse=True) compiles and matches the dense
+    pipeline output shape contract on a real cfg."""
+    from yolo_tpu.runtime import load_model
+    bundle = load_model(f'{repo_root}/cfg/yolov3tiny/yolov3-tiny.cfg').fuse()
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 224, 224, 3),
+                    jnp.float32)
+    dense_fn = bundle.make_infer(conf_thres=0.9, max_det=16, sparse=False)
+    sparse_fn = bundle.make_infer(conf_thres=0.9, max_det=16, sparse=True)
+    d, s = np.asarray(dense_fn(x)), np.asarray(sparse_fn(x))
+    assert d.shape == s.shape == (1, 16, 6)
+    np.testing.assert_allclose(s, d, rtol=1e-4, atol=1e-4)

@@ -103,12 +103,17 @@ def init_params(rng, net: ir_mod.NetworkIR):
 
 
 def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
-               maxabsscaler: bool = False, fused: bool = False) -> Callable:
+               maxabsscaler: bool = False, fused: bool = False,
+               heads_only: bool = False) -> Callable:
     """Build the network apply function.
 
     apply(params, state, x, train=False) ->
       train: ((yolo_p list, feature_out list), new_state)
       eval:  (io (bs, total, no), yolo_p list, feature_out list)
+      eval + heads_only: list of raw NHWC head-conv outputs
+        (bs, ny, nx, na*no) — for the sparse-decode NMS path
+        (ops/nms.py non_max_suppression_heads); skips the full-tensor
+        decode and the reference-layout (bs,na,ny,nx,no) permute.
 
     ``fused`` skips BN (params must be pre-folded via fuse_params).
     """
@@ -228,6 +233,8 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
 
         if train:
             return (yolo_p, feature_out), new_state
+        if heads_only:
+            return head_out
 
         ios = []
         yi = 0

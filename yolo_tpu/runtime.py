@@ -86,11 +86,16 @@ class ModelBundle:
 
     def make_infer(self, conf_thres=0.3, iou_thres=0.6, top_k=512,
                    max_det=300, multi_label=True, agnostic=False,
-                   augment=False):
+                   augment=False, sparse=None):
         """Jitted full pipeline: forward + decode + batched NMS.
 
         ``augment`` = test-time augmentation (original + flip@0.83 + 0.67
-        scale merged before NMS; reference models.py:482-506)."""
+        scale merged before NMS; reference models.py:482-506).
+
+        ``sparse`` selects the sparse-decode NMS path (objectness top-k on
+        raw head logits, decode only survivors — skips the (bs, N, 5+nc)
+        io materialisation, ~15% e2e on v5e @608). Default: on for plain
+        float inference on TPU; the dense path everywhere else."""
         if augment and self.quantized:
             print('WARNING: --augment (TTA) is not supported with quantized '
                   'inference; running single-pass')
@@ -118,6 +123,28 @@ class ModelBundle:
                     agnostic=agnostic)
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, self.qstate, x)
+        if sparse is None:
+            sparse = jax.default_backend() == 'tpu'
+        if sparse:
+            from .ops.nms import non_max_suppression_heads
+            heads_apply = make_apply(
+                self.net, compute_dtype=self.compute_dtype,
+                maxabsscaler=self.maxabsscaler, fused=(not self.state),
+                heads_only=True)
+            yolos = [l for l in self.net.layers if l.kind == 'yolo']
+            anchors = [l.anchors for l in yolos]
+            strides = [l.yolo_stride for l in yolos]
+            no = self.nc + 5
+
+            def fn(params, state, x):
+                heads = heads_apply(params, state, x, False)
+                return non_max_suppression_heads(
+                    heads, anchors, strides, no, conf_thres=conf_thres,
+                    iou_thres=iou_thres, top_k=top_k, max_det=max_det,
+                    multi_label=multi_label, agnostic=agnostic)
+            jfn = jax.jit(fn)
+            return lambda x: jfn(self.params, self.state, x)
+
         def fn(params, state, x):
             io, _, _ = self._apply(params, state, x, False)
             return non_max_suppression(
