@@ -47,11 +47,11 @@ def main():
 
     @jax.jit
     def pipeline(params, x):
-        heads = apply(params, {}, x, train=False)
+        heads, objs = apply(params, {}, x, train=False)
         # sparse-decode NMS: obj-logit top-k per scale, decode survivors
         return non_max_suppression_heads(
             heads, anchors, strides, no, conf_thres=0.3, iou_thres=0.6,
-            top_k=256, max_det=100)
+            top_k=256, max_det=100, objs=objs)
 
     x = jnp.asarray(np.random.RandomState(0).rand(bs, size, size, 3)
                     .astype(np.float32))

@@ -198,3 +198,43 @@ def test_make_infer_sparse_wiring(repo_root):
     d, s = np.asarray(dense_fn(x)), np.asarray(sparse_fn(x))
     assert d.shape == s.shape == (1, 16, 6)
     np.testing.assert_allclose(s, d, rtol=1e-4, atol=1e-4)
+
+
+def test_heads_cell_mode_matches_dense_path():
+    """Cell-mode sparse NMS (obj maps provided) must match the dense path."""
+    import jax
+    from yolo_tpu.models.yolo_head import decode_yolo_nhwc
+    from yolo_tpu.ops.nms import non_max_suppression_heads
+
+    rng = np.random.RandomState(7)
+    bs, nc, na = 2, 4, 3
+    no = nc + 5
+    shapes = [(8, 8, 32), (16, 16, 16)]
+    anchors = [np.array([[80, 90], [120, 60], [200, 200]], np.float32),
+               np.array([[20, 30], [40, 25], [60, 60]], np.float32)]
+
+    heads, objs, ios = [], [], []
+    for (ny, nx, stride), anc in zip(shapes, anchors):
+        x = rng.uniform(-9, -5, (bs, ny, nx, na * no)).astype(np.float32)
+        for b in range(bs):
+            for _ in range(12):
+                yy, xx, aa = rng.randint(ny), rng.randint(nx), rng.randint(na)
+                base = aa * no
+                x[b, yy, xx, base:base + 4] = rng.uniform(-1, 1, 4)
+                x[b, yy, xx, base + 4] = rng.uniform(2.0, 5.0)
+                x[b, yy, xx, base + 5 + rng.randint(nc)] = rng.uniform(2.0, 5.0)
+        x = jnp.asarray(x)
+        heads.append(x)
+        objs.append(x[..., 4::no])                 # exact obj-channel slice
+        ios.append(decode_yolo_nhwc(x, jnp.asarray(anc), stride, no))
+
+    io = jnp.concatenate(ios, axis=1)
+    kw = dict(conf_thres=0.3, iou_thres=0.5, top_k=64, max_det=32)
+    dense = np.asarray(non_max_suppression(io, **kw))
+    strides = [s for (_, _, s) in shapes]
+    sparse = np.asarray(jax.jit(
+        lambda hs, os_: non_max_suppression_heads(
+            hs, anchors, strides, no, objs=os_, **kw))(heads, objs))
+
+    assert (dense[..., 4] > 0).sum() > 8
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-5)

@@ -41,13 +41,27 @@ def _pairs(box_xywh, obj, cls, conf_thres, top_k, multi_label, agnostic):
         scores = jnp.where(scores == best, scores, 0.0)
     scores = jnp.where(scores > conf_thres, scores, 0.0)
 
-    flat = scores.reshape(-1)
-    k = min(top_k, flat.shape[0])
+    box_k = scores.shape[0]
+    k = min(top_k, box_k * nc)
+    # Two-phase pair top-k. A (box, class) pair can rank in the global
+    # top-k only if its box's BEST pair does (>=k boxes with a better best
+    # would otherwise each contribute a better pair) — so top-k boxes by
+    # best-pair score first, then rank pairs among those boxes only. This
+    # shrinks the expensive flattened sort from box_k*nc to k*nc elements
+    # (profiled 6.3 ms -> ~1.5 ms at 608px/bs128 on v5e).
     # approx_max_k: TPU-native binned top-k (PartialReduce); misses cluster
     # at the k-th-score boundary, far below real detections. On CPU/GPU it
     # lowers to an exact sort, so parity tests see exact top-k.
+    if box_k > k:
+        best = jnp.max(scores, axis=1)                 # (box_k,)
+        _, bsel = lax.approx_max_k(best, k, recall_target=0.99)
+        scores = scores[bsel]                          # (k, nc)
+    else:
+        bsel = jnp.arange(box_k)
+
+    flat = scores.reshape(-1)
     cand_scores, cand_idx = lax.approx_max_k(flat, k, recall_target=0.99)
-    box_idx = cand_idx // nc
+    box_idx = bsel[cand_idx // nc]
     cls_idx = (cand_idx % nc).astype(jnp.float32)
     valid = cand_scores > conf_thres
 
@@ -177,7 +191,8 @@ def _suppress_and_finalize(boxes, oboxes, cand_scores, cls_idx, valid,
         merged, cand_scores, cls_idx, keep)
 
 
-def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k):
+def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
+                      objs=None):
     """Sparse decode: box pre-selection straight from the NHWC head-conv
     outputs, skipping the (bs, N, 5+nc) io materialisation entirely.
 
@@ -191,7 +206,17 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k):
     conf_thres, where they are score-zeroed anyway.
 
     heads: list of (bs, ny, nx, na*no) conv outputs (models/network.py
-    head_out). Returns (box_xywh, obj, cls) batched, stage-2 ready.
+    head_out). objs: optional per-scale objectness-logit maps
+    (bs, ny, nx, na) from the slim head conv (entries may be None). With
+    an obj map the scale runs in *cell mode*: top-k grid cells by their
+    best-anchor logit, then gather whole 255-channel cells — the head
+    tensor is only ever touched by that narrow gather, never by the
+    (bs, N, no) lane-relayout the row mode needs. Cell mode admits all na
+    anchors of a selected cell (quota/na cells), so any anchor ranked
+    <= quota/na globally is guaranteed in-buffer; sub-threshold siblings
+    are score-zeroed downstream.
+
+    Returns (box_xywh, obj, cls) batched, stage-2 ready.
     """
     bs = heads[0].shape[0]
     sizes = []
@@ -205,30 +230,48 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k):
         logit_thres = math.log(conf_thres / (1.0 - conf_thres))
     else:
         logit_thres = -math.inf
+    if objs is None:
+        objs = [None] * len(heads)
 
     rows_all, obj_all = [], []
-    for x, (ny, nx, na), anc, stride in zip(heads, sizes, anchors, strides):
+    for x, om, (ny, nx, na), anc, stride in zip(heads, objs, sizes, anchors,
+                                                strides):
         n_s = ny * nx * na
         # per-scale quota: at least top_k (one scale may host every final
         # detection) + proportional share of the global buffer
         k_s = min(n_s, max(top_k, round(box_k * n_s / n_total)))
-        v = x.reshape(bs, n_s, no)                     # row i = (y*nx+x)*na+a
-        obj_logit = v[..., 4].astype(jnp.float32)
-        masked = jnp.where(obj_logit > logit_thres, obj_logit, -jnp.inf)
-        top_logit, idx = lax.approx_max_k(masked, k_s, recall_target=0.99)
+        if om is not None:
+            # cell mode: rank cells by best-anchor obj logit
+            n_c = ny * nx
+            o = om.reshape(bs, n_c, na).astype(jnp.float32)
+            omax = jnp.max(o, axis=-1)
+            k_c = min(n_c, -(-k_s // na))
+            masked = jnp.where(omax > logit_thres, omax, -jnp.inf)
+            _, cidx = lax.approx_max_k(masked, k_c, recall_target=0.99)
+            cells = jnp.take_along_axis(x.reshape(bs, n_c, na * no),
+                                        cidx[..., None], axis=1)
+            rows = cells.reshape(bs, k_c * na, no).astype(jnp.float32)
+            cell = jnp.repeat(cidx, na, axis=1)            # (bs, k_c*na)
+            a = jnp.tile(jnp.arange(na), k_c)[None]
+        else:
+            # row mode: rank (cell, anchor) rows directly
+            v = x.reshape(bs, n_s, no)                 # row i = (y*nx+x)*na+a
+            obj_logit = v[..., 4].astype(jnp.float32)
+            masked = jnp.where(obj_logit > logit_thres, obj_logit, -jnp.inf)
+            _, idx = lax.approx_max_k(masked, k_s, recall_target=0.99)
+            rows = jnp.take_along_axis(v, idx[..., None], axis=1)
+            rows = rows.astype(jnp.float32)            # (bs, k_s, no)
+            a = idx % na
+            cell = idx // na
 
-        rows = jnp.take_along_axis(v, idx[..., None], axis=1)  # (bs, k_s, no)
-        rows = rows.astype(jnp.float32)
         # decode the selected rows (same math as decode_yolo_nhwc)
-        a = idx % na
-        cell = idx // na
         gx = (cell % nx).astype(jnp.float32)
         gy = (cell // nx).astype(jnp.float32)
         anc = jnp.asarray(anc, jnp.float32)            # (na, 2) pixels
         xy = (jax.nn.sigmoid(rows[..., 0:2])
               + jnp.stack([gx, gy], axis=-1)) * stride
         wh = jnp.exp(rows[..., 2:4]) * anc[a]
-        obj = jnp.where(jnp.isinf(top_logit), 0.0, jax.nn.sigmoid(top_logit))
+        obj = jax.nn.sigmoid(rows[..., 4])
         cls = jax.nn.sigmoid(rows[..., 5:])
         rows_all.append(jnp.concatenate([xy, wh, cls], axis=-1))
         obj_all.append(obj)
@@ -255,15 +298,16 @@ def non_max_suppression_heads(heads, anchors, strides, no: int,
                               top_k: int = 512, max_det: int = 300,
                               multi_label: bool = True, agnostic: bool = False,
                               merge: bool = True, max_sweeps: int = 16,
-                              use_pallas: bool | None = None):
+                              use_pallas: bool | None = None, objs=None):
     """Batched NMS straight from the raw NHWC head-conv outputs.
 
     Same contract as :func:`non_max_suppression` but the decode is sparse:
     only boxes surviving the objectness top-k are ever decoded. heads:
     list of (bs, ny, nx, na*no); anchors: tuple of (na, 2) pixel tuples;
-    strides: tuple of ints. Output (bs, max_det, 6)."""
+    strides: tuple of ints; objs: optional per-scale objectness-logit maps
+    (make_apply heads_only obj_out). Output (bs, max_det, 6)."""
     box_xywh, obj, cls = _heads_candidates(
-        heads, anchors, strides, no, conf_thres, top_k)
+        heads, anchors, strides, no, conf_thres, top_k, objs=objs)
     boxes, oboxes, cand_scores, cls_idx, valid = jax.vmap(
         partial(_pairs, conf_thres=conf_thres, top_k=top_k,
                 multi_label=multi_label, agnostic=agnostic))(

@@ -137,11 +137,11 @@ class ModelBundle:
             no = self.nc + 5
 
             def fn(params, state, x):
-                heads = heads_apply(params, state, x, False)
+                heads, objs = heads_apply(params, state, x, False)
                 return non_max_suppression_heads(
                     heads, anchors, strides, no, conf_thres=conf_thres,
                     iou_thres=iou_thres, top_k=top_k, max_det=max_det,
-                    multi_label=multi_label, agnostic=agnostic)
+                    multi_label=multi_label, agnostic=agnostic, objs=objs)
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, x)
 
