@@ -147,11 +147,11 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         pending_obj: dict[int, Any] = {}
         feature_out = []
         new_state = {}
-        # inference keeps activations in the compute dtype end-to-end (HBM
-        # bandwidth); training keeps f32 activations for exact BN statistics
-        # (convs still run bf16 internally via ops/conv.py)
-        prev = x if (train or compute_dtype is None) \
-            else x.astype(compute_dtype)
+        # activations stay in the compute dtype end-to-end, training
+        # included (halves train-step HBM traffic); BN batch statistics are
+        # computed in f32 inside batch_norm_train, and the loss upcasts the
+        # head outputs, so the bf16 storage only rounds intermediates
+        prev = x if compute_dtype is None else x.astype(compute_dtype)
 
         for lyr in layers:
             k = str(lyr.index)

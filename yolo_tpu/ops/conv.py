@@ -65,12 +65,17 @@ def batch_norm_train(x, gamma, beta, running_mean, running_var,
     Returns (y, new_running_mean, new_running_var). Matches torch semantics:
     normalisation uses the biased batch variance, the running-var update uses
     the unbiased one; running = (1-m)*running + m*batch.
+
+    Statistics are always computed in f32 — activations may be stored bf16
+    (halves train-step HBM traffic) without degrading the running stats or
+    the normalisation math; only the final y is cast back.
     """
     axes = (0, 1, 2)
     n = x.shape[0] * x.shape[1] * x.shape[2]
-    mean = jnp.mean(x, axis=axes)
-    var = jnp.mean(jnp.square(x - mean), axis=axes)  # biased
-    y = (x - mean) * lax.rsqrt(var + eps) * gamma + beta
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased
+    y = ((xf - mean) * lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
     new_var = (1.0 - momentum) * running_var + momentum * unbiased

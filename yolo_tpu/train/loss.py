@@ -127,6 +127,10 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
     lobj = jnp.zeros(())
     lcls = jnp.zeros(())
 
+    # heads may arrive bf16 (train activations in the compute dtype); all
+    # loss math runs f32 — XLA fuses the upcast into the consumers
+    p = [pi.astype(jnp.float32) for pi in p]
+
     for i, pi in enumerate(p):
         bs, na, ny, nx, no = pi.shape
         lt = build_targets_layer(targets, valid, jnp.asarray(anchor_vecs[i]),
