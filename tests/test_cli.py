@@ -296,3 +296,22 @@ def test_train_convergence_device_aug(workspace, tmp_path, monkeypatch):
         log_fn=lambda *a, **k: None)
     r = run_training(opt)
     assert r[2] > 0.5, f'mAP@0.5 after device-aug training: {r[2]}'
+
+
+def test_train_evolve_cli(workspace, tmp_path, monkeypatch):
+    """--evolve: two generations append fitness-sorted rows to evolve.txt
+    (reference train.py:667-717 single-generation-per-invocation loop)."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    for _ in range(2):
+        train_cli.main([
+            '--cfg', str(workspace / 'toy.cfg'),
+            '--data', str(workspace / 'obj.data'),
+            '--epochs', '1', '--batch-size', '4',
+            '--img-size', '64', '64', '64', '--evolve',
+        ])
+    assert os.path.exists('evolve.txt')
+    rows = np.loadtxt('evolve.txt', ndmin=2)
+    assert rows.shape[0] == 2 and rows.shape[1] >= 7 + 18
+    # evolve implies notest/nosave: no per-epoch checkpoints
+    assert not os.path.exists('weights/best.npz')

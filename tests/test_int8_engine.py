@@ -105,3 +105,32 @@ def test_engine_pallas_backend_matches_xla(toy):
         plan.arrays, x)
     np.testing.assert_allclose(np.asarray(io_pal), np.asarray(io_xla),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_engine_heads_mode_matches_io(toy):
+    """heads_only engine + sparse NMS must match the engine's dense io
+    pipeline detections."""
+    from yolo_tpu.ops.nms import (non_max_suppression,
+                                  non_max_suppression_heads)
+    net, params, state = toy
+    cfg, _, qs, x = _calibrated(net, params, state)
+    plan = prepare_int8(net, params, state, qs, cfg)
+
+    io, _ = jax.jit(make_int8_apply(net, plan))(plan.arrays, x)
+    heads, objs = jax.jit(make_int8_apply(net, plan, heads_only=True))(
+        plan.arrays, x)
+
+    yolos = [l for l in net.layers if l.kind == 'yolo']
+    # obj map == dequantized obj channel of the head tensor
+    for h, om, y in zip(heads, objs, yolos):
+        np.testing.assert_allclose(np.asarray(om),
+                                   np.asarray(h[..., 4::y.no]),
+                                   rtol=1e-6, atol=1e-6)
+
+    kw = dict(conf_thres=0.3, iou_thres=0.5, top_k=64, max_det=32)
+    dense = np.asarray(non_max_suppression(io, **kw))
+    sparse = np.asarray(jax.jit(
+        lambda hs, os_: non_max_suppression_heads(
+            hs, [l.anchors for l in yolos], [l.yolo_stride for l in yolos],
+            yolos[0].no, objs=os_, **kw))(heads, objs))
+    np.testing.assert_allclose(sparse, dense, rtol=1e-4, atol=1e-4)

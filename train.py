@@ -40,10 +40,30 @@ def parse_args(argv=None):
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
     p.add_argument('--shortcut_way', type=int, default=1)
-    p.add_argument('--maxabsscaler', action='store_true')
-    p.add_argument('--gray_scale', action='store_true')
-    p.add_argument('--pt', action='store_true',
+    p.add_argument('--maxabsscaler', '-mas', action='store_true')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true')
+    p.add_argument('--pretrain', '--pt', '-pt', dest='pt',
+                   action='store_true',
                    help='skip 255-ch COCO heads when loading .weights')
+    p.add_argument('--evolve', action='store_true',
+                   help='one hyp-evolution generation: mutate from '
+                        'evolve.txt, train (notest/nosave), append result')
+    p.add_argument('--bucket', type=str, default='',
+                   help='gsutil bucket for evolve.txt sync (accepted for '
+                        'CLI compat; no-op in zero-egress environments)')
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for CLI compat; TPU devices are selected '
+                        'automatically (JAX_PLATFORMS to override)')
+    p.add_argument('--mixedprecision', '-mpt', dest='mpt',
+                   action='store_true',
+                   help='accepted for CLI compat; compute is always bf16 '
+                        'mixed precision on TPU')
+    p.add_argument('--rank', default=0,
+                   help='accepted for CLI compat; multi-host process index '
+                        'comes from jax.distributed (parallel/multihost.py)')
+    p.add_argument('--local_rank', type=int, default=-1,
+                   help='accepted for CLI compat (DDP launcher parameter)')
     p.add_argument('--t_cfg', type=str, default='', help='teacher cfg (KD)')
     p.add_argument('--t_weights', type=str, default='')
     p.add_argument('--KDstr', type=int, default=1, help='KD strategy 1-5')
@@ -66,6 +86,15 @@ def main(argv=None):
     weights = opt.weights
     if opt.resume and not weights:
         weights = 'weights/last.npz'
+    hyp_override = None
+    if opt.evolve:
+        # one generation per invocation (reference train.py:667-717):
+        # mutate from evolve.txt (or start from the defaults), train with
+        # notest/nosave, append the scored mutation
+        from yolo_tpu.config import load_hyp
+        from yolo_tpu.train.evolve import mutate_hyp
+        opt.notest, opt.nosave = True, True
+        hyp_override = mutate_hyp(load_hyp(None))
     topt = TrainOptions(
         cfg=opt.cfg, data=opt.data, weights=weights, epochs=opt.epochs,
         batch_size=opt.batch_size, img_size=tuple(img_size[:3]),
@@ -77,9 +106,13 @@ def main(argv=None):
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
         t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
-        resume=opt.resume,
+        resume=opt.resume, hyp_override=hyp_override,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
-    return run_training(topt)
+    results = run_training(topt)
+    if opt.evolve:
+        from yolo_tpu.train.evolve import print_mutation
+        print_mutation(hyp_override, results)
+    return results
 
 
 if __name__ == '__main__':

@@ -40,11 +40,16 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              is_gray_scale=False, save_json=False, verbose=False,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
-             quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None):
+             quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
+             sparse=None):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
     state={} are accepted via fused=True).
+
+    ``sparse``: use the sparse-decode NMS for the float path (objectness
+    top-k on raw head logits, only survivors decoded). Defaults on for TPU;
+    the quantized path always uses the dense io pipeline.
     """
     from ..runtime import preprocess as _pre   # function-level: avoids cycle
     data_dict = parse_data_cfg(data)
@@ -58,28 +63,59 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     # (reference test.py:113-116)
     want_loss = loss_hyp is not None and anchor_vecs is not None
 
+    if sparse is None:
+        sparse = jax.default_backend() == 'tpu'
     if quant_apply is not None:
+        sparse = False
+
         def fwd(params, state, x):
             return quant_apply(params, state, qstate, x, False)
     else:
-        apply = make_apply(net, compute_dtype=compute_dtype, fused=fused)
+        apply = make_apply(net, compute_dtype=compute_dtype, fused=fused,
+                           heads_only=sparse)
 
         def fwd(params, state, x):
             return apply(params, state, x, train=False)
 
-    @jax.jit
-    def infer(params, state, x, targets, valid):
-        io, yolo_p, _ = fwd(params, state, x)
-        dets = non_max_suppression(io, conf_thres=conf_thres,
-                                   iou_thres=iou_thres, top_k=top_k,
-                                   max_det=max_det, multi_label=multi_label)
-        if want_loss:
-            from ..train.loss import compute_loss
-            _, items = compute_loss(
-                [p.astype(jnp.float32) for p in yolo_p], targets, valid,
-                anchor_vecs, nc, loss_hyp, 1.0)
-            return dets, items[:3]
-        return dets, jnp.zeros(3)
+    if sparse:
+        from ..models.yolo_head import reshape_pred
+        from ..ops.nms import non_max_suppression_heads
+        yolos = [l for l in net.layers if l.kind == 'yolo']
+        anchors = [l.anchors for l in yolos]
+        strides = [l.yolo_stride for l in yolos]
+        nas = [(l.na, l.no) for l in yolos]
+
+        @jax.jit
+        def infer(params, state, x, targets, valid):
+            heads, objs = fwd(params, state, x)
+            dets = non_max_suppression_heads(
+                heads, anchors, strides, yolos[0].no, conf_thres=conf_thres,
+                iou_thres=iou_thres, top_k=top_k, max_det=max_det,
+                multi_label=multi_label, objs=objs)
+            if want_loss:
+                from ..train.loss import compute_loss
+                yolo_p = [reshape_pred(h, na, no)
+                          for h, (na, no) in zip(heads, nas)]
+                _, items = compute_loss(
+                    [p.astype(jnp.float32) for p in yolo_p], targets, valid,
+                    anchor_vecs, nc, loss_hyp, 1.0)
+                return dets, items[:3]
+            return dets, jnp.zeros(3)
+    else:
+        @jax.jit
+        def infer(params, state, x, targets, valid):
+            io, yolo_p, _ = fwd(params, state, x)
+            dets = non_max_suppression(io, conf_thres=conf_thres,
+                                       iou_thres=iou_thres, top_k=top_k,
+                                       max_det=max_det,
+                                       multi_label=multi_label)
+            if want_loss:
+                from ..train.loss import compute_loss
+                _, items = compute_loss(
+                    [p.astype(jnp.float32) for p in yolo_p], targets, valid,
+                    anchor_vecs, nc, loss_hyp, 1.0)
+                return dets, items[:3]
+            return dets, jnp.zeros(3)
 
     if loader is None:
         if dataset is None:

@@ -27,10 +27,13 @@ Performance status (v5e, 2026-08): a single int8 conv + fused requant
 epilogue is 1.76x faster than the bf16 conv (4.7 vs 8.3 ms at
 16x152x152x256->512). Composed into the full yolov3 graph, however, the
 current XLA TPU backend assigns batch-minor layouts to s8 activations and
-materialises s32 conv outputs, inserting ~20 ms layout copies per early
-layer (profiler-verified), so end-to-end the engine trails bf16 (142 vs
-94 ms @bs=64 608px). The engine is therefore the *semantics* reference for
-integer deployment (and the FPGA export path); the bf16 graph remains the
+materialises s32 conv outputs, inserting large layout copies around the
+early layers (profiler: ~56 ms of "data formatting" in a 179 ms step
+@bs=64 608px), so end-to-end the engine trails bf16. With ``heads_only``
++ the sparse-decode NMS the engine runs 160 ms e2e @bs=64 608px
+(401 img/s, 5.6x the reference GPU baseline) vs ~203 ms through the dense
+io pipeline. The engine is the *semantics* reference for integer
+deployment (and the FPGA export path); the bf16 graph remains the
 throughput champion until XLA's int8 conv layouts improve.
 """
 
@@ -145,8 +148,15 @@ def _on_tpu() -> bool:
 
 def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                     pallas_interpret: bool = False,
-                    pallas_min_hw: int = 152):
+                    pallas_min_hw: int = 152, heads_only: bool = False):
     """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only.
+
+    ``heads_only``: return (head_out, obj_out) instead — dequantized f32
+    NHWC head tensors plus per-scale objectness-logit maps (the strided
+    obj-channel slice of the still-int8 head, dequantized) for the
+    sparse-decode NMS (ops/nms.py non_max_suppression_heads). Skips the
+    (bs, N, 5+nc) io build + decode entirely (profiled ~16 ms at
+    608px/bs64 on v5e).
 
     backend: 'auto'/'pallas' route supported convs (1x1 s1 / 3x3 s1,s2,
     same padding, ungrouped) through the fused Pallas kernel
@@ -240,6 +250,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         outs: dict[int, Any] = {}
         yolo_p = []
         head_out = []
+        obj_out = []
         prev = ('f', x)
         for lyr in layers:
             k = str(lyr.index)
@@ -288,10 +299,25 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass
             elif lyr.kind == 'yolo':
-                yolo_p.append(reshape_pred(_as_float(prev), lyr.na, lyr.no))
-                head_out.append(_as_float(prev))
+                hf = _as_float(prev)
+                if heads_only:
+                    # obj-logit map: strided obj-channel slice of the
+                    # (still-quantized) head; head convs are linear so the
+                    # dequantized value IS the logit
+                    if prev[0] == 'q':
+                        om = (prev[1][..., 4::lyr.no].astype(jnp.float32)
+                              * prev[2])
+                    else:
+                        om = prev[1][..., 4::lyr.no].astype(jnp.float32)
+                    obj_out.append(om)
+                else:
+                    yolo_p.append(reshape_pred(hf, lyr.na, lyr.no))
+                head_out.append(hf)
             if lyr.is_routed:
                 outs[lyr.index] = prev
+
+        if heads_only:
+            return head_out, obj_out
 
         ios = []
         yi = 0

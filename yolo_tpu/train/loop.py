@@ -75,6 +75,7 @@ class TrainOptions:
     max_targets: int = 0
     image_weights: bool = False
     hyp_path: str | None = None
+    hyp_override: dict | None = None     # evolved/mutated hyp values win
     seed: int = 0
     log_fn: Any = print
     n_burn_override: int | None = None   # None = reference rule max(3*nb, 500)
@@ -89,6 +90,8 @@ class TrainOptions:
 
 def run_training(opt: TrainOptions):
     hyp = load_hyp(opt.hyp_path)
+    if opt.hyp_override:
+        hyp.update(opt.hyp_override)
     data_dict = parse_data_cfg(opt.data)
     train_path = data_dict['train']
     nc = 1 if opt.single_cls else int(data_dict['classes'])
