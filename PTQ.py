@@ -22,8 +22,19 @@ def main(argv=None):
     p.add_argument('--weights', type=str, default='weights/last.npz')
     p.add_argument('--img-size', type=int, default=416)
     p.add_argument('--batch-size', type=int, default=16)
-    p.add_argument('--subset-len', type=int, default=32,
+    p.add_argument('--subset-len', '--subset_len', dest='subset_len',
+                   type=int, default=32,
                    help='calibration images drawn from the train set')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true')
+    p.add_argument('--maxabsscaler', '-mas', action='store_true')
+    p.add_argument('--single-cls', action='store_true')
+    p.add_argument('--augment', action='store_true',
+                   help='accepted for CLI compat (reference PTQ.py surface); '
+                        'calibration always runs single-pass')
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for CLI compat; TPU devices are selected '
+                        'automatically (JAX_PLATFORMS to override)')
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
     p.add_argument('--shortcut_way', type=int, default=1)
@@ -44,16 +55,22 @@ def main(argv=None):
 
     data_dict = parse_data_cfg(opt.data)
 
-    float_bundle = load_model(opt.cfg, opt.weights)
+    float_bundle = load_model(opt.cfg, opt.weights,
+                              is_gray_scale=opt.gray_scale,
+                              maxabsscaler=opt.maxabsscaler)
     q_bundle = load_model(opt.cfg, opt.weights, quantized=3,
                           a_bit=opt.a_bit, w_bit=opt.w_bit,
                           shortcut_way=opt.shortcut_way,
+                          is_gray_scale=opt.gray_scale,
+                          maxabsscaler=opt.maxabsscaler,
                           compute_dtype=jnp.float32)
 
     if not opt.no_eval:
         print('evaluating the float model...')
         evaluate(float_bundle.net, float_bundle.params, float_bundle.state,
-                 opt.data, batch_size=opt.batch_size, img_size=opt.img_size)
+                 opt.data, batch_size=opt.batch_size, img_size=opt.img_size,
+                 single_cls=opt.single_cls, is_gray_scale=opt.gray_scale,
+                 maxabsscaler=opt.maxabsscaler)
 
     # calibration: train-mode forwards run the cos-sim scale search
     # (PTQ.py:76-88)
@@ -68,13 +85,15 @@ def main(argv=None):
     state = q_bundle.state
     for imgs, _, _, _, _ in loader:
         _, state, qstate = calib(q_bundle.params, state, qstate,
-                                 preprocess(imgs))
+                                 preprocess(imgs, opt.maxabsscaler))
     q_bundle.qstate = qstate
 
     if not opt.no_eval:
         print('evaluating the quantized model...')
         evaluate(q_bundle.net, q_bundle.params, state, opt.data,
                  batch_size=opt.batch_size, img_size=opt.img_size,
+                 single_cls=opt.single_cls, is_gray_scale=opt.gray_scale,
+                 maxabsscaler=opt.maxabsscaler,
                  quant_apply=q_bundle._apply, qstate=qstate)
 
     if opt.int8_engine:
@@ -88,6 +107,8 @@ def main(argv=None):
             print('evaluating the true-int8 engine...')
             evaluate(q_bundle.net, plan.arrays, {}, opt.data,
                      batch_size=opt.batch_size, img_size=opt.img_size,
+                     single_cls=opt.single_cls, is_gray_scale=opt.gray_scale,
+                     maxabsscaler=opt.maxabsscaler,
                      quant_apply=lambda pa, st, qs, x, train:
                          (*eng(pa, x), []),
                      qstate=None)

@@ -14,6 +14,18 @@ def main(argv=None):
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--weights', type=str, required=True,
                    help='.npz -> .weights or .weights -> .npz by extension')
+    p.add_argument('--output', type=str, default='',
+                   help='target path (default: source path with the '
+                        'extension swapped)')
+    p.add_argument('--img_size', '--img-size', dest='img_size', type=int,
+                   default=416, help='accepted for CLI compat; weight '
+                                     'conversion is size-independent')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true',
+                   help='accepted for CLI compat; channel count comes from '
+                        'the cfg')
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for CLI compat')
     opt = p.parse_args(argv)
 
     import jax
@@ -28,13 +40,13 @@ def main(argv=None):
 
     if opt.weights.endswith('.npz'):
         ck = load_checkpoint(opt.weights)
-        target = opt.weights.rsplit('.', 1)[0] + '.weights'
+        target = opt.output or opt.weights.rsplit('.', 1)[0] + '.weights'
         save_darknet_weights(net, ck['params'], ck['state'], target)
         print(f"Success: converted '{opt.weights}' to '{target}'")
     elif opt.weights.endswith('.weights'):
         params, state, version, seen = load_darknet_weights(
             net, params, state, opt.weights)
-        target = opt.weights.rsplit('.', 1)[0] + '.npz'
+        target = opt.output or opt.weights.rsplit('.', 1)[0] + '.npz'
         save_checkpoint(target, params=params, state=state, epoch=-1)
         print(f"Success: converted '{opt.weights}' to '{target}'")
     else:

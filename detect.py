@@ -28,18 +28,31 @@ def main(argv=None):
     p.add_argument('--save-txt', action='store_true')
     p.add_argument('--view-img', action='store_true')
     p.add_argument('--quantized', type=int, default=-1)
-    p.add_argument('--a-bit', type=int, default=8)
-    p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--a-bit', '--a_bit', dest='a_bit', type=int, default=8)
+    p.add_argument('--w-bit', '--w_bit', dest='w_bit', type=int, default=8)
     p.add_argument('--shortcut_way', type=int, default=1)
-    p.add_argument('--gray_scale', action='store_true')
-    p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true')
+    p.add_argument('--maxabsscaler', '-mas', action='store_true')
     p.add_argument('--augment', action='store_true',
                    help='test-time augmentation (flip + multi-scale merge)')
+    p.add_argument('--names', type=str, default='',
+                   help='*.names path (overrides the .data names entry)')
+    p.add_argument('--rect', action='store_true',
+                   help='rectangular letterbox (minimal 64-multiple pad; '
+                        'default is the full square — one compiled shape)')
+    p.add_argument('--fourcc', type=str, default='mp4v',
+                   help='output video codec (verify ffmpeg support)')
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for CLI compat; TPU devices are selected '
+                        'automatically (JAX_PLATFORMS to override)')
     p.add_argument('--quantizer_output', action='store_true',
                    help='dump per-layer FPGA cross-check artifacts')
     p.add_argument('--reorder', action='store_true')
     p.add_argument('--TM', type=int, default=32)
     p.add_argument('--TN', type=int, default=32)
+    p.add_argument('--layer_idx', type=int, default=-1,
+                   help='restrict --quantizer_output dumps to one layer')
     opt = p.parse_args(argv)
 
     import cv2
@@ -52,7 +65,7 @@ def main(argv=None):
     from yolo_tpu.utils.plots import color_for_class, plot_one_box
 
     os.makedirs(opt.output, exist_ok=True)
-    names = load_classes(parse_data_cfg(opt.data)['names'])
+    names = load_classes(opt.names or parse_data_cfg(opt.data)['names'])
 
     bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
                         a_bit=opt.a_bit, w_bit=opt.w_bit,
@@ -69,7 +82,7 @@ def main(argv=None):
     if opt.quantizer_output:
         from yolo_tpu.compress.fpga_export import dump_quantizer_output
         dump_quantizer_output(bundle, reorder=opt.reorder, TM=opt.TM,
-                              TN=opt.TN)
+                              TN=opt.TN, layer_idx=opt.layer_idx)
 
     src = opt.source
     webcam = src == '0' or src.startswith(('rtsp', 'http')) or \
@@ -79,7 +92,7 @@ def main(argv=None):
             if src != '0' else LoadWebcam(0, img_size=opt.img_size)
     else:
         dataset = LoadImages(src, img_size=opt.img_size,
-                             is_gray_scale=opt.gray_scale)
+                             is_gray_scale=opt.gray_scale, rect=opt.rect)
 
     vid_writer = None
     for path, img, im0, vid_cap in dataset:
@@ -114,7 +127,8 @@ def main(argv=None):
                 fps = vid_cap.get(cv2.CAP_PROP_FPS) if vid_cap else 30
                 h, w = im0.shape[:2]
                 vid_writer = cv2.VideoWriter(
-                    save_path, cv2.VideoWriter_fourcc(*'mp4v'), fps, (w, h))
+                    save_path, cv2.VideoWriter_fourcc(*opt.fourcc), fps,
+                    (w, h))
             vid_writer.write(im0)
     print(f'Results saved to {opt.output}')
 

@@ -23,9 +23,16 @@ def main(argv=None):
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
     p.add_argument('--shortcut_way', type=int, default=1)
-    p.add_argument('--gray_scale', action='store_true')
-    p.add_argument('--maxabsscaler', action='store_true')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true')
+    p.add_argument('--maxabsscaler', '-mas', action='store_true')
     p.add_argument('--single-cls', action='store_true')
+    p.add_argument('--augment', action='store_true',
+                   help='test-time augmentation (flip + multi-scale merge '
+                        'before NMS; float models only)')
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for CLI compat; TPU devices are selected '
+                        'automatically (JAX_PLATFORMS to override)')
     opt = p.parse_args(argv)
 
     from yolo_tpu.runtime import load_model
@@ -62,7 +69,7 @@ def main(argv=None):
                           fused=(opt.quantized == -1),
                           save_json=opt.save_json, verbose=True,
                           single_cls=opt.single_cls,
-                          maxabsscaler=opt.maxabsscaler,
+                          maxabsscaler=opt.maxabsscaler, augment=opt.augment,
                           quant_apply=bundle._apply if bundle.quantized else None,
                           qstate=bundle.qstate)
     print(f'speed: {t[0]:.3f}s inference+nms total')

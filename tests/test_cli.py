@@ -315,3 +315,14 @@ def test_train_evolve_cli(workspace, tmp_path, monkeypatch):
     assert rows.shape[0] == 2 and rows.shape[1] >= 7 + 18
     # evolve implies notest/nosave: no per-epoch checkpoints
     assert not os.path.exists('weights/best.npz')
+
+
+def test_test_cli_augment(workspace, tmp_path, monkeypatch):
+    """--augment eval: TTA merged forward through the evaluator."""
+    monkeypatch.chdir(tmp_path)
+    import test as test_cli
+    r = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                       '--data', str(workspace / 'obj.data'),
+                       '--weights', '', '--img-size', '64',
+                       '--batch-size', '4', '--augment'])
+    assert np.isfinite(np.array(r[:4], dtype=np.float64)).all()

@@ -51,7 +51,12 @@ class LoadImages:
 
     Iterates (path, letterboxed_img_chw_rgb, original_img, video_capture)."""
 
-    def __init__(self, path, img_size=416, is_gray_scale=False):
+    def __init__(self, path, img_size=416, is_gray_scale=False, rect=False):
+        # rect=False letterboxes to the full square (reference
+        # utils/datasets.py:107-110 default) — one static shape, so the
+        # jitted pipeline compiles once; rect=True pads to the minimal
+        # 64-multiple rectangle (reference --rect)
+        self.rect = rect
         path = str(Path(path))
         files = []
         if os.path.isdir(path):
@@ -102,7 +107,7 @@ class LoadImages:
         else:
             self.count += 1
             img0 = _read_image(path, self.is_gray_scale)
-        img = letterbox(img0, new_shape=self.img_size,
+        img = letterbox(img0, new_shape=self.img_size, auto=self.rect,
                         is_gray_scale=self.is_gray_scale)[0]
         if not self.is_gray_scale:
             img = img[:, :, ::-1]  # BGR -> RGB

@@ -41,7 +41,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
              quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
-             sparse=None):
+             sparse=None, augment=False):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -65,7 +65,23 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
 
     if sparse is None:
         sparse = jax.default_backend() == 'tpu'
-    if quant_apply is not None:
+    if augment and quant_apply is not None:
+        print('WARNING: --augment (TTA) is not supported with quantized '
+              'evaluation; running single-pass')
+        augment = False
+    if augment:
+        # TTA returns merged io only — no per-layer outputs for val losses
+        # (reference models.py:482-506 augment forward)
+        sparse = False
+        want_loss = False
+        from ..models.network import make_augmented_apply
+        aug_apply = make_augmented_apply(net, compute_dtype=compute_dtype,
+                                         maxabsscaler=maxabsscaler,
+                                         fused=fused)
+
+        def fwd(params, state, x):
+            return aug_apply(params, state, x), [], []
+    elif quant_apply is not None:
         sparse = False
 
         def fwd(params, state, x):
