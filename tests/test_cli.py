@@ -282,7 +282,8 @@ def test_train_resume(workspace, tmp_path, monkeypatch):
 def test_train_convergence_device_aug(workspace, tmp_path, monkeypatch):
     """End-to-end learning through the DEVICE-side augmentation path
     (mosaic/affine/HSV/flip on the accelerator). Verified on TPU v5e:
-    mAP@0.5 = 0.995 after 300 toy epochs (2026-08-16)."""
+    mAP@0.5 = 0.995 after 300 toy epochs (2026-08-16); re-verified on
+    hardware after the bf16-activation train step landed (2026-08-17)."""
     monkeypatch.chdir(tmp_path)
     from yolo_tpu.train.loop import TrainOptions, run_training
     hyp_txt = tmp_path / 'hyp.txt'
