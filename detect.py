@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument('--source', type=str, default='data/samples')
     p.add_argument('--output', type=str, default='output')
     p.add_argument('--img-size', type=int, default=416)
+    p.add_argument('--batch-size', type=int, default=1,
+                   help='batch this many frames per TPU dispatch (directory '
+                        'and video sources; the last partial batch is '
+                        'padded so only one program is ever compiled)')
     p.add_argument('--conf-thres', type=float, default=0.3)
     p.add_argument('--iou-thres', type=float, default=0.6)
     p.add_argument('--classes', nargs='+', type=int)
@@ -95,17 +99,15 @@ def main(argv=None):
                              is_gray_scale=opt.gray_scale, rect=opt.rect)
 
     vid_writer = None
-    for path, img, im0, vid_cap in dataset:
-        x = np.ascontiguousarray(img.transpose(1, 2, 0))[None]  # CHW->NHWC
-        t0 = time.time()
-        dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
-        dt = time.time() - t0
-        det = dets[0]
-        s = f'{path}: {x.shape[2]}x{x.shape[1]} '
+    bs = max(1, opt.batch_size)
+
+    def handle(path, shape_hw, det, im0, vid_cap, dt):
+        nonlocal vid_writer
+        s = f'{path}: {shape_hw[1]}x{shape_hw[0]} '
         save_path = str(Path(opt.output) / Path(path).name)
         if det is not None and len(det):
             det[:, :4] = np.asarray(scale_coords(
-                x.shape[1:3], det[:, :4], im0.shape[:2]))
+                shape_hw, det[:, :4], im0.shape[:2]))
             if opt.classes:
                 det = det[np.isin(det[:, 5].astype(int), opt.classes)]
             for c in np.unique(det[:, 5].astype(int)):
@@ -130,6 +132,43 @@ def main(argv=None):
                     save_path, cv2.VideoWriter_fourcc(*opt.fourcc), fps,
                     (w, h))
             vid_writer.write(im0)
+
+    def flush(buf):
+        # one TPU dispatch for the whole batch; partial batches are padded
+        # by repeating the last frame so a single program shape compiles
+        if not buf:
+            return
+        x = np.stack([np.ascontiguousarray(b[1].transpose(1, 2, 0))
+                      for b in buf])
+        if len(buf) < bs:
+            x = np.concatenate([x, np.repeat(x[-1:], bs - len(buf), axis=0)])
+        t0 = time.time()
+        dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
+        dt = (time.time() - t0) / len(buf)
+        for (path, img, im0, vid_cap), det in zip(buf, dets):
+            handle(path, img.shape[1:3], det, im0, vid_cap, dt)
+
+    buf = []
+    for item in dataset:
+        if item[1].ndim == 4:
+            # LoadStreams yields an (S, 3, H, W) multi-stream frame batch —
+            # one TPU dispatch covers every stream
+            paths, img, im0s, _ = item
+            x = np.ascontiguousarray(img.transpose(0, 2, 3, 1))
+            t0 = time.time()
+            dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
+            dt = (time.time() - t0) / len(dets)
+            for pth, det, im0 in zip(paths, dets, im0s):
+                handle(pth, img.shape[2:4], det, im0, None, dt)
+            continue
+        if buf and item[1].shape != buf[0][1].shape:
+            flush(buf)       # shape change (rect mode): new program anyway
+            buf = []
+        buf.append(item)
+        if len(buf) >= bs:
+            flush(buf)
+            buf = []
+    flush(buf)
     print(f'Results saved to {opt.output}')
 
 

@@ -327,3 +327,16 @@ def test_test_cli_augment(workspace, tmp_path, monkeypatch):
                        '--weights', '', '--img-size', '64',
                        '--batch-size', '4', '--augment'])
     assert np.isfinite(np.array(r[:4], dtype=np.float64)).all()
+
+
+def test_detect_cli_batched(workspace, tmp_path, monkeypatch):
+    """--batch-size > 1: frames batched per dispatch, last batch padded;
+    outputs identical set of annotated files."""
+    monkeypatch.chdir(tmp_path)
+    import detect as detect_cli
+    detect_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                     '--data', str(workspace / 'obj.data'),
+                     '--weights', '', '--source', str(workspace / 'images'),
+                     '--img-size', '64', '--conf-thres', '0.01',
+                     '--batch-size', '3', '--output', 'outb'])
+    assert len(os.listdir('outb')) == 8

@@ -23,18 +23,13 @@ calibration — quantized_google.py Scale_freeze_step semantics).
 Layers int8 cannot express (float input edge, SE, avgpool) fall back to
 bf16 for that edge only.
 
-Performance status (v5e, 2026-08): a single int8 conv + fused requant
-epilogue is 1.76x faster than the bf16 conv (4.7 vs 8.3 ms at
-16x152x152x256->512). Composed into the full yolov3 graph, however, the
-current XLA TPU backend assigns batch-minor layouts to s8 activations and
-materialises s32 conv outputs, inserting large layout copies around the
-early layers (profiler: ~56 ms of "data formatting" in a 179 ms step
-@bs=64 608px), so end-to-end the engine trails bf16. With ``heads_only``
-+ the sparse-decode NMS the engine runs 160 ms e2e @bs=64 608px
-(401 img/s, 5.6x the reference GPU baseline) vs ~203 ms through the dense
-io pipeline. The engine is the *semantics* reference for integer
-deployment (and the FPGA export path); the bf16 graph remains the
-throughput champion until XLA's int8 conv layouts improve.
+Performance status (v5e, 2026-08-17): with ``heads_only`` + the
+sparse-decode NMS and every conv on XLA's s8 path (the current 'auto'
+default — see make_int8_apply), the engine runs 130 ms e2e @bs=64 608px
+(492 img/s) and 160 ms @bs=128 (800 img/s, 11.2x the reference GPU
+baseline) — within ~11% of the bf16 pipeline's 899 img/s, with int8 HBM
+edges (half the activation footprint). The engine doubles as the
+*semantics* reference for integer deployment (and the FPGA export path).
 """
 
 from __future__ import annotations
@@ -158,17 +153,19 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     (bs, N, 5+nc) io build + decode entirely (profiled ~16 ms at
     608px/bs64 on v5e).
 
-    backend: 'auto'/'pallas' route supported convs (1x1 s1 / 3x3 s1,s2,
-    same padding, ungrouped) through the fused Pallas kernel
+    backend: 'pallas' routes supported convs (1x1 s1 / 3x3 s1,s2, same
+    padding, ungrouped) through the fused Pallas kernel
     (ops/pallas_conv.py) when the input feature map is at least
-    ``pallas_min_hw`` pixels; smaller maps stay on XLA's s8 conv. Measured
-    on v5e @608 bs=64: XLA's composed s8 convs are fastest on deep layers
-    (~196 TOP/s in uniform chains) but its layout assignment inserts GBs of
-    s32/s8 relayout copies on the high-resolution early stages, where the
-    Pallas kernel's fixed row-major layouts win. 'auto' only engages on
-    TPU; 'pallas' forces the kernel everywhere it applies (use
-    pallas_interpret=True off-TPU, and pallas_min_hw=0 in tests to cover
-    every conv); 'xla' keeps every conv on lax.conv_general_dilated.
+    ``pallas_min_hw`` pixels; smaller maps stay on XLA's s8 conv.
+    'auto'/'xla' keep every conv on lax.conv_general_dilated — re-measured
+    2026-08-17 after the heads_only/sparse-NMS rework, XLA's composed s8
+    convs beat the Pallas mix in every configuration (heads bs=64:
+    130 vs 159 ms; bs=128: 160 vs 230 ms; dense-io bs=64: 184 vs 194 ms
+    @608 on v5e) — the layout-copy pathology that originally motivated the
+    kernel no longer composes into the graph. The kernel stays available
+    (and bit-exact parity-tested) as the layout-controlled alternative:
+    use pallas_interpret=True off-TPU, and pallas_min_hw=0 in tests to
+    cover every conv.
     """
     from ..ops import pallas_conv
     layers = net.layers
@@ -177,8 +174,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     meta = plan.meta
     if backend not in ('auto', 'pallas', 'xla'):
         raise ValueError(f'unknown int8 backend {backend!r}')
-    use_pallas = (backend == 'pallas'
-                  or (backend == 'auto' and _on_tpu()))
+    use_pallas = backend == 'pallas'
 
     def conv_i8(lyr, arr, t):
         stride = lyr.stride_xy or lyr.stride
