@@ -143,7 +143,8 @@ def _on_tpu() -> bool:
 
 def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                     pallas_interpret: bool = False,
-                    pallas_min_hw: int = 152, heads_only: bool = False):
+                    pallas_min_hw: int = 152, pallas_max_hw: int = 10 ** 9,
+                    heads_only: bool = False):
     """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only.
 
     ``heads_only``: return (head_out, obj_out) instead — dequantized f32
@@ -183,7 +184,8 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         if t[0] == 'q':
             s_int = stride if isinstance(stride, int) else stride[0]
             if (use_pallas and not isinstance(stride, (tuple, list))
-                    and min(t[1].shape[1], t[1].shape[2]) >= pallas_min_hw
+                    and pallas_min_hw <= min(t[1].shape[1], t[1].shape[2])
+                    <= pallas_max_hw
                     and pallas_conv.supported(lyr.size, s_int, lyr.pad,
                                               lyr.groups)):
                 q = pallas_conv.fused_conv_int8(
