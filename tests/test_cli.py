@@ -340,3 +340,17 @@ def test_detect_cli_batched(workspace, tmp_path, monkeypatch):
                      '--img-size', '64', '--conf-thres', '0.01',
                      '--batch-size', '3', '--output', 'outb'])
     assert len(os.listdir('outb')) == 8
+
+
+def test_test_cli_benchmark_task(workspace, tmp_path, monkeypatch):
+    """--task benchmark sweeps sizes/IoU (reference test.py:302-309)."""
+    monkeypatch.chdir(tmp_path)
+    import test as test_cli
+    rows = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                          '--data', str(workspace / 'obj.data'),
+                          '--weights', '', '--batch-size', '2',
+                          '--task', 'benchmark'])
+    sizes = [r[0] for r in rows]
+    assert sizes == list(range(256, 640 + 128, 128))
+    for _, iou, m, t in rows:
+        assert np.isfinite(m)
