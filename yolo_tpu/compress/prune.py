@@ -169,7 +169,9 @@ def obtain_filters_mask(net: NetworkIR, params, thre: float, cbl_idx,
         gamma = np.abs(np.asarray(params[str(idx)]['gamma']))
         ch = gamma.shape[0]
         if idx in prune_idx:
-            mask = (gamma > thre).astype(np.float32)
+            # >= : the reference keeps channels at exactly the threshold
+            # (obtain_bn_mask uses .ge(), prune_utils.py:338-342)
+            mask = (gamma >= thre).astype(np.float32)
             min_keep = max(int(ch * layer_keep), 1) if layer_keep > 0 else 0
             remain = int(mask.sum())
             if filter_multiple > 1:
