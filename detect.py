@@ -81,7 +81,9 @@ def main(argv=None):
     infer = bundle.make_infer(conf_thres=opt.conf_thres,
                               iou_thres=opt.iou_thres,
                               agnostic=opt.agnostic_nms,
-                              augment=opt.augment)
+                              augment=opt.augment,
+                              classes=tuple(opt.classes)
+                              if opt.classes else None)
 
     if opt.quantizer_output:
         from yolo_tpu.compress.fpga_export import dump_quantizer_output
@@ -108,8 +110,8 @@ def main(argv=None):
         if det is not None and len(det):
             det[:, :4] = np.asarray(scale_coords(
                 shape_hw, det[:, :4], im0.shape[:2]))
-            if opt.classes:
-                det = det[np.isin(det[:, 5].astype(int), opt.classes)]
+            # --classes is enforced inside NMS candidate selection (excluded
+            # classes never consume max_det slots); no post-filter needed
             for c in np.unique(det[:, 5].astype(int)):
                 n = int((det[:, 5] == c).sum())
                 s += f'{n} {names[c]}s, '

@@ -238,3 +238,32 @@ def test_heads_cell_mode_matches_dense_path():
 
     assert (dense[..., 4] > 0).sum() > 8
     np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_classes_filter_in_candidate_stage():
+    """--classes masking happens BEFORE top-k/suppression, so excluded
+    classes never consume max_det slots (reference utils/utils.py:808-810
+    filters candidates inside NMS)."""
+    rng = np.random.RandomState(4)
+    n, nc = 64, 6
+    pred = np.zeros((1, n, 5 + nc), np.float32)
+    pred[0, :, 0:2] = rng.uniform(50, 350, (n, 2))
+    pred[0, :, 2:4] = rng.uniform(20, 60, (n, 2))
+    pred[0, :, 4] = 0.9
+    # class 0 everywhere except a handful of class-3 boxes
+    pred[0, :, 5] = 0.95
+    pred[0, ::7, 5] = 0.1
+    pred[0, ::7, 8] = 0.95
+
+    out_all = np.asarray(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.3, multi_label=False, max_det=16))
+    out_cls3 = np.asarray(non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.3, multi_label=False, max_det=16,
+        classes=(3,)))
+    kept_all = out_all[0][out_all[0][:, 4] > 0]
+    kept3 = out_cls3[0][out_cls3[0][:, 4] > 0]
+    assert set(np.unique(kept3[:, 5].astype(int))) <= {3}
+    assert len(kept3) > 0
+    # every class-3 detection survives even though class-0 boxes dominate
+    n3_in_all = (kept_all[:, 5].astype(int) == 3).sum()
+    assert len(kept3) >= n3_in_all

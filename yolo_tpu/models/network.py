@@ -129,6 +129,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
     # head conv index -> (na, no) for yolo layers that consume the
     # immediately preceding conv's output (darknet cfgs always do)
     head_meta = {}
+    obj_src = {}    # yolo layer index -> its head conv's index
     if heads_only:
         for i, lyr in enumerate(layers):
             if lyr.kind != 'yolo' or i == 0:
@@ -138,6 +139,10 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                     and hc.activation in ('linear', None)
                     and (fused or not hc.bn)):
                 head_meta[hc.index] = (lyr.na, lyr.no)
+                # pair by the conv's actual .index (list position and IR
+                # index must agree for the pending_obj handoff below —
+                # keying both sides off hc.index makes that explicit)
+                obj_src[lyr.index] = hc.index
 
     def apply(params, state, x, train: bool = False):
         outs: dict[int, Any] = {}
@@ -255,7 +260,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                 p_raw = reshape_pred(prev, lyr.na, lyr.no)
                 yolo_p.append(p_raw)
                 head_out.append(prev)   # NHWC conv output for transpose-free decode
-                obj_out.append(pending_obj.get(lyr.index - 1))
+                obj_out.append(pending_obj.get(obj_src.get(lyr.index, -1)))
                 # prev intentionally unchanged (models.py:534-535)
 
             if lyr.is_routed:

@@ -28,14 +28,23 @@ from .boxes import box_iou_matrix, xywh2xyxy
 MIN_WH, MAX_WH = 2.0, 4096.0  # box constraints (reference utils/utils.py:791)
 
 
-def _pairs(box_xywh, obj, cls, conf_thres, top_k, multi_label, agnostic):
+def _pairs(box_xywh, obj, cls, conf_thres, top_k, multi_label, agnostic,
+           classes=None):
     """Stage 2: multi-label (box, class) pairs from pre-selected boxes.
 
     One image. box_xywh: (box_k, 4), obj: (box_k,) score (0 where
-    filtered), cls: (box_k, nc). Returns fixed-k arrays (score-sorted
-    desc)."""
+    filtered), cls: (box_k, nc). ``classes``: optional static tuple of
+    allowed class ids — excluded classes are zeroed BEFORE the top-k so
+    they never consume candidate or max_det slots (the reference filters
+    candidates inside NMS, utils/utils.py:808-810). Returns fixed-k arrays
+    (score-sorted desc)."""
     nc = cls.shape[1]
     scores = cls * obj[:, None]                        # (box_k, nc)
+    if classes is not None:
+        import numpy as np
+        mask = np.zeros(nc, bool)
+        mask[list(classes)] = True
+        scores = jnp.where(jnp.asarray(mask)[None, :], scores, 0.0)
     if not (multi_label and nc > 1):
         best = jnp.max(scores, axis=1, keepdims=True)
         scores = jnp.where(scores == best, scores, 0.0)
@@ -71,7 +80,7 @@ def _pairs(box_xywh, obj, cls, conf_thres, top_k, multi_label, agnostic):
     return boxes, oboxes, cand_scores, cls_idx, valid
 
 
-def _candidates(pred, conf_thres, top_k, multi_label, agnostic):
+def _candidates(pred, conf_thres, top_k, multi_label, agnostic, classes=None):
     """Candidate selection for one image. pred: (N, 5 + nc) decoded
     xywh/obj/cls. Returns fixed-k arrays (score-sorted desc)."""
     nc = pred.shape[1] - 5
@@ -92,7 +101,7 @@ def _candidates(pred, conf_thres, top_k, multi_label, agnostic):
         jnp.where(base_ok, obj, 0.0), box_k, recall_target=0.99)
 
     return _pairs(box_xywh[box_sel], obj_top, cls[box_sel],
-                  conf_thres, top_k, multi_label, agnostic)
+                  conf_thres, top_k, multi_label, agnostic, classes)
 
 
 def _suppress_xla(oboxes, boxes, cand_scores, valid, iou_thres, merge,
@@ -147,12 +156,14 @@ def _finalize(boxes, cand_scores, cls_idx, keep, max_det):
 
 @partial(jax.jit, static_argnames=('conf_thres', 'iou_thres', 'top_k',
                                    'max_det', 'multi_label', 'agnostic',
-                                   'merge', 'max_sweeps', 'use_pallas'))
+                                   'merge', 'max_sweeps', 'use_pallas',
+                                   'classes'))
 def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
                         top_k: int = 512, max_det: int = 300,
                         multi_label: bool = True, agnostic: bool = False,
                         merge: bool = True, max_sweeps: int = 16,
-                        use_pallas: bool | None = None):
+                        use_pallas: bool | None = None,
+                        classes: tuple | None = None):
     """Batched NMS. pred: (bs, N, 5 + nc) -> (bs, max_det, 6).
 
     ``max_sweeps`` bounds the fixpoint iteration; each sweep resolves one
@@ -164,7 +175,8 @@ def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
     when running on TPU)."""
     boxes, oboxes, cand_scores, cls_idx, valid = jax.vmap(
         partial(_candidates, conf_thres=conf_thres, top_k=top_k,
-                multi_label=multi_label, agnostic=agnostic))(pred)
+                multi_label=multi_label, agnostic=agnostic,
+                classes=classes))(pred)
     return _suppress_and_finalize(boxes, oboxes, cand_scores, cls_idx, valid,
                                   iou_thres, merge, max_sweeps, max_det,
                                   use_pallas)
@@ -298,7 +310,8 @@ def non_max_suppression_heads(heads, anchors, strides, no: int,
                               top_k: int = 512, max_det: int = 300,
                               multi_label: bool = True, agnostic: bool = False,
                               merge: bool = True, max_sweeps: int = 16,
-                              use_pallas: bool | None = None, objs=None):
+                              use_pallas: bool | None = None, objs=None,
+                              classes: tuple | None = None):
     """Batched NMS straight from the raw NHWC head-conv outputs.
 
     Same contract as :func:`non_max_suppression` but the decode is sparse:
@@ -310,8 +323,8 @@ def non_max_suppression_heads(heads, anchors, strides, no: int,
         heads, anchors, strides, no, conf_thres, top_k, objs=objs)
     boxes, oboxes, cand_scores, cls_idx, valid = jax.vmap(
         partial(_pairs, conf_thres=conf_thres, top_k=top_k,
-                multi_label=multi_label, agnostic=agnostic))(
-        box_xywh, obj, cls)
+                multi_label=multi_label, agnostic=agnostic,
+                classes=classes))(box_xywh, obj, cls)
     return _suppress_and_finalize(boxes, oboxes, cand_scores, cls_idx, valid,
                                   iou_thres, merge, max_sweeps, max_det,
                                   use_pallas)

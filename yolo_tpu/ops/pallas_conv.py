@@ -25,11 +25,13 @@ Design (one pallas_call per conv layer):
     match) — both transforms are cheap XLA int8 copies done in the
     wrapper. This also quadruples the MXU contraction depth for the
     shallow early layers.
-  - The wrapper zero-pads x spatially and gathers it into non-overlapping
-    halo row slabs of shape (N * n_row_blocks, tile_h + K - 1, W_pad, Cin)
-    in one XLA int8 copy (~(K-1)/tile_h duplication). Halo windows then
-    align with block boundaries, so plain BlockSpec pipelining streams
-    them HBM->VMEM with Mosaic's automatic double buffering.
+  - The wrapper zero-pads x spatially; the kernel reads it zero-copy
+    through halo-row BlockSpec operands — the main operand carries tile_h
+    rows per grid step and each of the (K - 1) halo rows rides its own
+    single-row BlockSpec whose index map overlaps the next block, so
+    Mosaic's pipelining streams overlapping windows HBM->VMEM with
+    automatic double buffering and no gathered slab copy (the earlier
+    slab-gather design this replaced cost an extra (K-1)/tile_h HBM pass).
   - grid = (N * n_row_blocks, Cout / TILE_CO); weights/bias/scales ride
     BlockSpec pipelining over the Cout grid dim; the output index map
     scatters row blocks back into the (N, H_out, W_T, Cout) result, whose

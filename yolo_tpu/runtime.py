@@ -86,7 +86,7 @@ class ModelBundle:
 
     def make_infer(self, conf_thres=0.3, iou_thres=0.6, top_k=512,
                    max_det=300, multi_label=True, agnostic=False,
-                   augment=False, sparse=None):
+                   augment=False, sparse=None, classes=None):
         """Jitted full pipeline: forward + decode + batched NMS.
 
         ``augment`` = test-time augmentation (original + flip@0.83 + 0.67
@@ -111,7 +111,7 @@ class ModelBundle:
                 return non_max_suppression(
                     io, conf_thres=conf_thres, iou_thres=iou_thres,
                     top_k=top_k, max_det=max_det, multi_label=multi_label,
-                    agnostic=agnostic)
+                    agnostic=agnostic, classes=classes)
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, x)
         if self.quantized:
@@ -120,7 +120,7 @@ class ModelBundle:
                 return non_max_suppression(
                     io, conf_thres=conf_thres, iou_thres=iou_thres,
                     top_k=top_k, max_det=max_det, multi_label=multi_label,
-                    agnostic=agnostic)
+                    agnostic=agnostic, classes=classes)
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, self.qstate, x)
         if sparse is None:
@@ -141,7 +141,8 @@ class ModelBundle:
                 return non_max_suppression_heads(
                     heads, anchors, strides, no, conf_thres=conf_thres,
                     iou_thres=iou_thres, top_k=top_k, max_det=max_det,
-                    multi_label=multi_label, agnostic=agnostic, objs=objs)
+                    multi_label=multi_label, agnostic=agnostic, objs=objs,
+                    classes=classes)
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, x)
 
@@ -149,7 +150,8 @@ class ModelBundle:
             io, _, _ = self._apply(params, state, x, False)
             return non_max_suppression(
                 io, conf_thres=conf_thres, iou_thres=iou_thres, top_k=top_k,
-                max_det=max_det, multi_label=multi_label, agnostic=agnostic)
+                max_det=max_det, multi_label=multi_label, agnostic=agnostic,
+                classes=classes)
         jfn = jax.jit(fn)
         return lambda x: jfn(self.params, self.state, x)
 
