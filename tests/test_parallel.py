@@ -83,3 +83,35 @@ def test_host_shard_partition():
     flat = sorted(x for s in shards for x in s)
     assert flat == items
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_cli_train_auto_mesh_matches_single_device(tmp_path, monkeypatch):
+    """CLI-level DP: with batch divisible by the 8 virtual devices,
+    run_training auto-builds the mesh (reference always-DDP,
+    train.py:93-107) and the loss trajectory matches a forced
+    single-device run on the same seeded data."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    import train as train_cli
+
+    ws = ge._make_toy_workspace(str(tmp_path / 'ws'))
+
+    def run(tag, extra):
+        d = tmp_path / tag
+        d.mkdir()
+        monkeypatch.chdir(d)
+        train_cli.main([
+            '--cfg', f'{ws}/toy.cfg', '--data', f'{ws}/obj.data',
+            '--epochs', '3', '--batch-size', '8',
+            '--img-size', '64', '64', '64', '--notest'] + extra)
+        rows = np.loadtxt(d / 'results.txt').reshape(3, -1)
+        return rows[:, 1:5]   # mloss columns (giou, obj, cls, total)
+
+    single = run('single', ['--no-mesh'])
+    dp = run('dp', [])
+    assert np.isfinite(dp).all()
+    # same data, same math; only collective reduction order differs (bf16)
+    np.testing.assert_allclose(dp, single, rtol=2e-2, atol=2e-3)

@@ -55,6 +55,14 @@ def parse_args(argv=None):
     p.add_argument('--device', type=str, default='',
                    help='accepted for CLI compat; TPU devices are selected '
                         'automatically (JAX_PLATFORMS to override)')
+    p.add_argument('--tp', type=int, default=1,
+                   help='model-parallel axis size of the device mesh '
+                        '(conv output-channel sharding); data-parallel uses '
+                        'the remaining devices. DP over all devices is '
+                        'automatic when >1 device is visible.')
+    p.add_argument('--no-mesh', action='store_true',
+                   help='force single-device training even when multiple '
+                        'devices are visible')
     p.add_argument('--mixedprecision', '-mpt', dest='mpt',
                    action='store_true',
                    help='accepted for CLI compat; compute is always bf16 '
@@ -107,6 +115,7 @@ def main(argv=None):
         t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
         resume=opt.resume, hyp_override=hyp_override,
+        tp=opt.tp, device_mesh=False if opt.no_mesh else None,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
     results = run_training(topt)
     if opt.evolve:
