@@ -41,7 +41,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
              quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
-             sparse=None, augment=False):
+             sparse=None, augment=False, device_match=True):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -50,12 +50,18 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     ``sparse``: use the sparse-decode NMS for the float path (objectness
     top-k on raw head logits, only survivors decoded). Defaults on for TPU;
     the quantized path always uses the dense io pipeline.
+
+    ``device_match``: run TP assignment inside the eval step
+    (eval/matching.py) instead of the host python loop — the reference's
+    per-image/per-class matching (test.py:157-181) bottlenecks a 1-core
+    host once the device clears ~900 img/s.
     """
     from ..runtime import preprocess as _pre   # function-level: avoids cycle
     data_dict = parse_data_cfg(data)
     nc = 1 if single_cls else int(data_dict['classes'])
     names = load_classes(data_dict['names'])
     path = data_dict['valid']
+    iouv_t = tuple(float(v) for v in iouv)   # static for the jitted matcher
     iouv = np.asarray(iouv, np.float64)
     niou = len(iouv)
 
@@ -101,6 +107,15 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         strides = [l.yolo_stride for l in yolos]
         nas = [(l.na, l.no) for l in yolos]
 
+    def _epilogue(dets, x, targets, valid):
+        """Optional in-graph TP assignment (eval/matching.py)."""
+        if not device_match:
+            return None
+        from .matching import match_device
+        return match_device(dets, targets, valid,
+                            float(x.shape[2]), float(x.shape[1]), iouv_t)
+
+    if sparse:
         @jax.jit
         def infer(params, state, x, targets, valid):
             heads, objs = fwd(params, state, x)
@@ -108,6 +123,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                 heads, anchors, strides, yolos[0].no, conf_thres=conf_thres,
                 iou_thres=iou_thres, top_k=top_k, max_det=max_det,
                 multi_label=multi_label, objs=objs)
+            correct = _epilogue(dets, x, targets, valid)
             if want_loss:
                 from ..train.loss import compute_loss
                 yolo_p = [reshape_pred(h, na, no)
@@ -115,8 +131,8 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                 _, items = compute_loss(
                     [p.astype(jnp.float32) for p in yolo_p], targets, valid,
                     anchor_vecs, nc, loss_hyp, 1.0)
-                return dets, items[:3]
-            return dets, jnp.zeros(3)
+                return dets, items[:3], correct
+            return dets, jnp.zeros(3), correct
     else:
         @jax.jit
         def infer(params, state, x, targets, valid):
@@ -125,13 +141,14 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                                        iou_thres=iou_thres, top_k=top_k,
                                        max_det=max_det,
                                        multi_label=multi_label)
+            correct = _epilogue(dets, x, targets, valid)
             if want_loss:
                 from ..train.loss import compute_loss
                 _, items = compute_loss(
                     [p.astype(jnp.float32) for p in yolo_p], targets, valid,
                     anchor_vecs, nc, loss_hyp, 1.0)
-                return dets, items[:3]
-            return dets, jnp.zeros(3)
+                return dets, items[:3], correct
+            return dets, jnp.zeros(3), correct
 
     if loader is None:
         if dataset is None:
@@ -154,9 +171,12 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         # uint8 across host->device, normalised on-device (runtime.preprocess)
         x = _pre(imgs, maxabsscaler)
         t0 = time.perf_counter()
-        dets, loss_items = infer(params, state, x, jnp.asarray(tgt),
-                                 jnp.asarray(valid))
-        det_list = to_host_detections(dets)   # np conversion = real sync
+        dets, loss_items, correct_dev = infer(params, state, x,
+                                              jnp.asarray(tgt),
+                                              jnp.asarray(valid))
+        dets_np = np.asarray(dets)            # np conversion = real sync
+        det_list = to_host_detections(dets_np)
+        correct_np = None if correct_dev is None else np.asarray(correct_dev)
         t_inf += time.perf_counter() - t0
         val_loss += np.asarray(loss_items)
         n_batches += 1
@@ -197,10 +217,17 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                                   'bbox': [round(v, 3) for v in b],
                                   'score': round(pr[4], 5)})
 
-            correct = np.zeros((len(pred), niou), bool)
-            if nl:
-                tbox = _xywh2xyxy_np(labels[:, 1:5]) * [w, h, w, h]
-                correct = match_predictions(pred, labels[:, 0], tbox, iouv)
+            if correct_np is not None:
+                # rows of correct_dev align with dets rows; keep the same
+                # conf>0 mask to_host_detections applied
+                keep = dets_np[si][:, 4] > 0
+                correct = correct_np[si][keep]
+            else:
+                correct = np.zeros((len(pred), niou), bool)
+                if nl:
+                    tbox = _xywh2xyxy_np(labels[:, 1:5]) * [w, h, w, h]
+                    correct = match_predictions(pred, labels[:, 0], tbox,
+                                                iouv)
             stats.append((correct, pred[:, 4], pred[:, 5], tcls))
 
     mp = mr = map50 = mf1 = 0.0
