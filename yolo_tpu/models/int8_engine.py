@@ -115,6 +115,18 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
                 arrays[k] = {'w': jnp.asarray(params[k]['w'])}
         elif lyr.kind == 'route' and len(lyr.layers) > 1 and k in qstate:
             meta[k] = {'rs': float(np.asarray(qstate[k]['scale']))}
+        elif lyr.kind == 'se':
+            # float fallback edge (the fake-quant sim keeps SE in float too,
+            # quant.py make_quant_apply; reference models.py:217-222)
+            arrays[k] = {'fc1': jnp.asarray(params[k]['fc1'], jnp.float32),
+                         'fc2': jnp.asarray(params[k]['fc2'], jnp.float32)}
+        elif lyr.kind == 'batchnorm':
+            st = state[k]
+            arrays[k] = {
+                'gamma': jnp.asarray(params[k]['gamma'], jnp.float32),
+                'beta': jnp.asarray(params[k]['beta'], jnp.float32),
+                'mean': jnp.asarray(st['mean'], jnp.float32),
+                'var': jnp.asarray(st['var'], jnp.float32)}
     return Int8Plan(arrays=arrays, meta=meta, a_bits=cfg.a_bits,
                     shortcut_way=cfg.shortcut_way,
                     maxabsscaler=cfg.maxabsscaler)
@@ -284,16 +296,23 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             elif lyr.kind == 'shortcut':
                 prev = shortcut_i8(lyr, prev, outs)
             elif lyr.kind == 'se':
-                raise NotImplementedError(
-                    'SE blocks are not int8-lowered; use the fake-quant sim')
+                # float fallback edge, like the fake-quant sim (the SE gate
+                # is a global pool + 2 tiny FCs — negligible vs the convs)
+                a = arrays[k]
+                prev = ('f', conv_ops.se_block(_as_float(prev),
+                                               a['fc1'], a['fc2']))
             elif lyr.kind == 'avgpool':
                 prev = ('f', jnp.mean(_as_float(prev), axis=(1, 2),
                                       keepdims=True))
             elif lyr.kind == 'scale_channels':
                 prev = ('f', _as_float(outs[lyr.layers[0]]) * _as_float(prev))
             elif lyr.kind == 'batchnorm':
-                raise NotImplementedError(
-                    'standalone BatchNorm2d is not int8-lowered')
+                # standalone BatchNorm2d block: float fallback edge
+                # (LONE_BN eps 1e-4, models/network.py)
+                a = arrays[k]
+                prev = ('f', conv_ops.batch_norm_infer(
+                    _as_float(prev), a['gamma'], a['beta'],
+                    a['mean'], a['var'], 1e-4))
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass
             elif lyr.kind == 'yolo':
