@@ -18,7 +18,10 @@ def main(argv=None):
     p.add_argument('--conf-thres', type=float, default=0.001)
     p.add_argument('--iou-thres', type=float, default=0.6)
     p.add_argument('--save-json', action='store_true')
-    p.add_argument('--task', default='test', help="'test' | 'benchmark'")
+    p.add_argument('--task', default='test',
+                   help="'test' | 'study' | 'benchmark'")
+    p.add_argument('--sweep-sizes', nargs='+', type=int, default=None,
+                   help='override the img-size sweep for study/benchmark')
     p.add_argument('--quantized', type=int, default=-1)
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
@@ -46,11 +49,28 @@ def main(argv=None):
     if opt.quantized == -1:
         bundle = bundle.fuse()   # conv+bn fuse for eval (test.py:52-53)
 
-    if opt.task == 'benchmark':
-        # sweep sizes/IoU (reference test.py:302-309)
+    if opt.task in ('benchmark', 'study'):
+        # benchmark: mAP at sizes 256-512 x IoU {0.6, 0.7} -> benchmark.txt
+        # (reference test.py:303-309); study: finer size sweep at the CLI
+        # IoU -> study_<cfg>.txt (upstream-ultralytics study task the
+        # reference help string advertises)
+        import time
+
+        import numpy as np
+        if opt.task == 'benchmark':
+            sizes = opt.sweep_sizes or list(range(256, 640, 128))
+            ious = (0.6, 0.7)
+            out_file = 'benchmark.txt'
+        else:
+            sizes = opt.sweep_sizes or list(range(288, 896, 64))
+            ious = (opt.iou_thres,)
+            cfg_tag = os.path.splitext(os.path.basename(opt.cfg))[0]
+            data_tag = os.path.splitext(os.path.basename(opt.data))[0]
+            out_file = f'study_{data_tag}_{cfg_tag}.txt'
         results = []
-        for size in range(256, 640 + 128, 128):
-            for iou in (0.6,):
+        for size in sizes:
+            for iou in ious:
+                t0 = time.time()
                 r, _, t = evaluate(bundle.net, bundle.params, bundle.state,
                                    opt.data, batch_size=opt.batch_size,
                                    img_size=size, conf_thres=opt.conf_thres,
@@ -58,7 +78,9 @@ def main(argv=None):
                                    single_cls=opt.single_cls,
                                    quant_apply=bundle._apply if bundle.quantized else None,
                                    qstate=bundle.qstate)
-                results.append((size, iou, r[2], t))
+                # row: size, iou, P, R, mAP@0.5, F1, val losses, wall time
+                results.append((size, iou) + tuple(r) + (time.time() - t0,))
+        np.savetxt(out_file, np.asarray(results), fmt='%10.4g')
         for row in results:
             print(row)
         return results

@@ -216,11 +216,13 @@ def test_prune_cli(workspace, tmp_path, monkeypatch):
     from yolo_tpu.utils.checkpoint import save_checkpoint
     net = build_ir(str(workspace / 'toy.cfg'))
     params, state = init_params(jax.random.PRNGKey(0), net)
-    # shrink some gammas so the threshold prunes
+    # shrink some gammas so the threshold prunes (distinct values: channels
+    # tied at exactly the threshold survive, like the reference's .ge mask)
     rng = np.random.RandomState(0)
     for k in ('0', '1', '2'):
         g = np.asarray(params[k]['gamma']).copy()
-        g[rng.choice(len(g), len(g) // 2, replace=False)] = 1e-5
+        sel = rng.choice(len(g), len(g) // 2, replace=False)
+        g[sel] = rng.uniform(1e-6, 1e-4, len(sel))
         params[k]['gamma'] = jnp.asarray(g)
     save_checkpoint('m.npz', params=params, state=state)
 
@@ -349,8 +351,26 @@ def test_test_cli_benchmark_task(workspace, tmp_path, monkeypatch):
     rows = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
                           '--data', str(workspace / 'obj.data'),
                           '--weights', '', '--batch-size', '2',
-                          '--task', 'benchmark'])
-    sizes = [r[0] for r in rows]
-    assert sizes == list(range(256, 640 + 128, 128))
-    for _, iou, m, t in rows:
-        assert np.isfinite(m)
+                          '--task', 'benchmark',
+                          '--sweep-sizes', '64', '96'])
+    # 2 sizes x IoU {0.6, 0.7}; rows land in benchmark.txt like the
+    # reference np.savetxt (test.py:309)
+    assert [r[0] for r in rows] == [64, 64, 96, 96]
+    assert [r[1] for r in rows] == [0.6, 0.7, 0.6, 0.7]
+    assert np.isfinite(np.asarray(rows)).all()
+    assert np.loadtxt('benchmark.txt').shape == (4, len(rows[0]))
+
+
+def test_test_cli_study_task(workspace, tmp_path, monkeypatch):
+    """--task study: size sweep at the CLI IoU, written study_<data>_<cfg>.txt."""
+    monkeypatch.chdir(tmp_path)
+    import test as test_cli
+    rows = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                          '--data', str(workspace / 'obj.data'),
+                          '--weights', '', '--batch-size', '2',
+                          '--task', 'study', '--sweep-sizes', '64', '96',
+                          '--iou-thres', '0.5'])
+    assert [r[0] for r in rows] == [64, 96]
+    assert all(r[1] == 0.5 for r in rows)
+    assert os.path.exists('study_obj_toy.txt')
+    assert np.loadtxt('study_obj_toy.txt').shape == (2, len(rows[0]))
