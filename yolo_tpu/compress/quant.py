@@ -179,6 +179,42 @@ def tpsq_quantize(x, scale_param, bits: int):
     return q * p2 / qr_dq
 
 
+def _tpsq_search_scale(x, bits: int):
+    """TPSQ warmup scale search (quantized_TPSQ.py:262-281): scan 99
+    candidate scales i * max(x)/100, quantize through the TPSQ path, pick
+    the cosine-similarity winner. Sequential lax.map keeps memory at one
+    tensor copy (the reference loops on the host for the same reason)."""
+    flat = jax.lax.stop_gradient(x).reshape(-1).astype(jnp.float32)
+    step = jnp.max(flat) / 100.0
+    xn = flat / jnp.maximum(jnp.linalg.norm(flat), 1e-12)
+
+    def cos_for(i):
+        dq = tpsq_quantize(flat, step * i, bits)
+        return jnp.vdot(dq, xn) / jnp.maximum(jnp.linalg.norm(dq), 1e-12)
+
+    cands = jnp.arange(1, 100, dtype=jnp.float32)
+    cos = jax.lax.map(cos_for, cands)
+    return step * cands[jnp.argmax(cos)]
+
+
+def tpsq_warmup(net, cfg, params, state, qstate, x):
+    """Data-driven init of every TPSQ scale parameter (the reference's
+    first-forward warmup, quantized_TPSQ.py:262-281). Without it the
+    scales start at 1.0 and the ±1 soft-clamp destroys any pretrained
+    activation distribution wider than that. Returns params with
+    w/b/a_scale replaced by the per-site cos-search winners."""
+    apply = make_quant_apply(net, cfg, warmup=True)
+    _, _, new_q = jax.jit(
+        lambda p, s, q, xx: apply(p, s, q, xx, True))(params, state,
+                                                      qstate, x)
+    out = {k: dict(v) for k, v in params.items()}
+    for k, q in new_q.items():
+        for f in ('w_scale', 'b_scale', 'a_scale'):
+            if isinstance(q, dict) and f in q:
+                out[k][f] = jnp.asarray(q[f])
+    return out
+
+
 # --------------------------------------------------------------------------
 # cos-similarity PTQ scale search (quantized_ptq_cos.py:30-110)
 # --------------------------------------------------------------------------
@@ -308,7 +344,7 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
 
 
 def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
-                     compute_dtype=None):
+                     compute_dtype=None, warmup: bool = False):
     """Build the quantized apply:
 
     apply(params, state, qstate, x, train=False) ->
@@ -346,8 +382,13 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 bias, qs['bq'], bits=cfg.w_bits, train=train,
                 freeze_step=cfg.scale_freeze_step, track='global')
         elif sch == 'tpsq':
-            qw = tpsq_quantize(w_fold, p['w_scale'], cfg.w_bits)
-            qb = tpsq_quantize(bias, p['b_scale'], cfg.w_bits)
+            if warmup:   # record the cos-search winners (tpsq_warmup)
+                qs['w_scale'] = _tpsq_search_scale(w_fold, cfg.w_bits)
+                qs['b_scale'] = _tpsq_search_scale(bias, cfg.w_bits)
+            ws = qs['w_scale'] if warmup else p['w_scale']
+            bs_ = qs['b_scale'] if warmup else p['b_scale']
+            qw = tpsq_quantize(w_fold, ws, cfg.w_bits)
+            qb = tpsq_quantize(bias, bs_, cfg.w_bits)
         else:
             qw, qs['wq'] = cospt_quantize(w_fold, qs['wq'], bits=cfg.w_bits,
                                           train=train)
@@ -363,7 +404,10 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 out, qs['aq'], bits=cfg.a_bits, train=train,
                 freeze_step=cfg.scale_freeze_step, track='ema')
         elif sch == 'tpsq':
-            out = tpsq_quantize(out, p['a_scale'], cfg.a_bits)
+            if warmup:
+                qs['a_scale'] = _tpsq_search_scale(out, cfg.a_bits)
+            out = tpsq_quantize(out, qs['a_scale'] if warmup
+                                else p['a_scale'], cfg.a_bits)
         else:
             out, qs['aq'] = cospt_quantize(out, qs['aq'], bits=cfg.a_bits,
                                            train=train)

@@ -125,6 +125,24 @@ def run_training(opt: TrainOptions):
     anchor_vecs = bundle.anchor_vecs()
     loss_hyp = LossHyp.from_dict(hyp, nc=nc)
 
+    if opt.quantized == 2:
+        # TPSQ warmup (quantized_TPSQ.py:262-281): scales are trainable
+        # params initialised by a first-forward cos-sim search. Run it only
+        # on fresh scales — a finetuned/resumed TPSQ checkpoint keeps its
+        # trained values.
+        from ..compress.quant import tpsq_warmup
+        fresh = all(float(np.asarray(v[f])) == 1.0
+                    for v in bundle.params.values() if 'a_scale' in v
+                    for f in ('a_scale', 'w_scale', 'b_scale'))
+        if fresh:
+            cb = min(opt.batch_size, n_train)
+            calib_ds = DetectionDataset(train_path, img_size, cb,
+                                        subset_len=cb, seed=opt.seed)
+            imgs = next(iter(BatchLoader(calib_ds, cb)))[0]
+            bundle.params = tpsq_warmup(
+                net, bundle.qcfg, bundle.params, bundle.state,
+                bundle.qstate, preprocess(imgs, opt.maxabsscaler))
+
     # sparse-training hook (train.py:242-265 + prune_utils updateBN):
     # 0 = normal sets, 1 = shortcut sets, 2 = layer (shortcut-preceding CBLs)
     sparse_layers: tuple[int, ...] = ()
