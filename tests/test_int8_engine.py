@@ -117,23 +117,39 @@ def test_engine_heads_mode_matches_io(toy):
     plan = prepare_int8(net, params, state, qs, cfg)
 
     io, _ = jax.jit(make_int8_apply(net, plan))(plan.arrays, x)
-    heads, objs = jax.jit(make_int8_apply(net, plan, heads_only=True))(
-        plan.arrays, x)
+    eng_h = make_int8_apply(net, plan, heads_only=True)
+    heads, objs = jax.jit(eng_h)(plan.arrays, x)
 
     yolos = [l for l in net.layers if l.kind == 'yolo']
-    # obj map == dequantized obj channel of the head tensor
-    for h, om, y in zip(heads, objs, yolos):
-        np.testing.assert_allclose(np.asarray(om),
-                                   np.asarray(h[..., 4::y.no]),
-                                   rtol=1e-6, atol=1e-6)
+    # heads stay int8 in HBM; obj map == dequantized obj channel
+    for h, om, y, hs in zip(heads, objs, yolos, eng_h.head_scales):
+        assert h.dtype == jnp.int8 and hs is not None
+        np.testing.assert_allclose(
+            np.asarray(om),
+            np.asarray(h[..., 4::y.no]).astype(np.float32) * hs,
+            rtol=1e-6, atol=1e-6)
 
     kw = dict(conf_thres=0.3, iou_thres=0.5, top_k=64, max_det=32)
     dense = np.asarray(non_max_suppression(io, **kw))
     sparse = np.asarray(jax.jit(
         lambda hs, os_: non_max_suppression_heads(
             hs, [l.anchors for l in yolos], [l.yolo_stride for l in yolos],
-            yolos[0].no, objs=os_, **kw))(heads, objs))
+            yolos[0].no, objs=os_, head_scales=eng_h.head_scales,
+            **kw))(heads, objs))
     np.testing.assert_allclose(sparse, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_mixed_backend_matches_xla(toy):
+    """'mixed' (bf16 MXU compute above bf16_min_hw, int8 edges + per-layer
+    requant preserved) tracks the all-s8 engine within requant rounding."""
+    net, params, state = toy
+    cfg, _, qs, x = _calibrated(net, params, state)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    io_xla, _ = jax.jit(make_int8_apply(net, plan, backend='xla'))(
+        plan.arrays, x)
+    io_mix, _ = jax.jit(make_int8_apply(net, plan, backend='mixed',
+                                        bf16_min_hw=8))(plan.arrays, x)
+    _assert_close(np.asarray(io_mix), np.asarray(io_xla))
 
 
 def test_engine_mobilenetv3_se_fallback(repo_root):

@@ -156,7 +156,7 @@ def _on_tpu() -> bool:
 def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                     pallas_interpret: bool = False,
                     pallas_min_hw: int = 152, pallas_max_hw: int = 10 ** 9,
-                    heads_only: bool = False):
+                    heads_only: bool = False, bf16_min_hw: int = 76):
     """Build apply(plan_arrays, x) -> (io, yolo_p). Inference only.
 
     ``heads_only``: return (head_out, obj_out) instead — dequantized f32
@@ -185,14 +185,32 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     bits = plan.a_bits
     qmin, qmax = qrange(bits, True)
     meta = plan.meta
-    if backend not in ('auto', 'pallas', 'xla'):
+    if backend not in ('auto', 'pallas', 'xla', 'mixed'):
         raise ValueError(f'unknown int8 backend {backend!r}')
     use_pallas = backend == 'pallas'
+    use_mixed = backend == 'mixed'
 
     def conv_i8(lyr, arr, t):
         stride = lyr.stride_xy or lyr.stride
         m = meta[str(lyr.index)]
         pad = [(lyr.pad, lyr.pad)] * 2
+        s_min = (stride if isinstance(stride, int)
+                 else min(stride[0], stride[1]))
+        out_hw = -(-min(t[1].shape[1], t[1].shape[2]) // max(s_min, 1))
+        if (use_mixed and t[0] == 'q' and lyr.size > 1
+                and out_hw >= bf16_min_hw):
+            # mixed backend, per-layer best-of measured on v5e (hlo_stats
+            # 2026-08-17, yolov3 @608 bs128): XLA's s8 KxK convs collapse
+            # on high-resolution maps (304->152 s2: 19.1 ms s8 vs 6.9 bf16;
+            # 76px 3x3: 3.8 vs 2.3 — bf16 runs at ~94% of its MXU peak
+            # there), while s8 wins on every 1x1 (HBM-bound, bytes halve:
+            # 304px 1x1 1.8 vs 3.3) and on deep KxK (76->38 s2: 1.6 vs 2.3;
+            # 19px 3x3: 1.8 vs 2.7). Rule: KxK convs whose OUTPUT map is
+            # >= bf16_min_hw compute in bf16 from the dequantized int8
+            # edge; everything else stays s8. int8 HBM edges and per-layer
+            # requantization are kept either way, so the arithmetic still
+            # tracks the fake-quant sim.
+            t = ('f', t[1].astype(jnp.bfloat16) * jnp.bfloat16(t[2]))
         if t[0] == 'q':
             s_int = stride if isinstance(stride, int) else stride[0]
             if (use_pallas and not isinstance(stride, (tuple, list))
@@ -256,6 +274,17 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         q = jnp.clip(round_half_away(x / m['sc']), qmin, qmax)
         return ('q', q.astype(jnp.int8), m['sc'])
 
+    # static per-yolo head dequant scales for the sparse NMS (None where
+    # the head conv edge is float, e.g. tpsq): darknet cfgs place each yolo
+    # right after its head conv, so prev at the yolo layer is that conv's
+    # output with scale meta['sa']
+    head_scales = []
+    for i, lyr in enumerate(layers):
+        if lyr.kind == 'yolo':
+            hk = str(layers[i - 1].index) if i else ''
+            head_scales.append(meta.get(hk, {}).get('sa'))
+    head_keep_q = [s is not None for s in head_scales]
+
     def apply(arrays, x):
         outs: dict[int, Any] = {}
         yolo_p = []
@@ -316,20 +345,27 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass
             elif lyr.kind == 'yolo':
-                hf = _as_float(prev)
                 if heads_only:
                     # obj-logit map: strided obj-channel slice of the
                     # (still-quantized) head; head convs are linear so the
-                    # dequantized value IS the logit
-                    if prev[0] == 'q':
+                    # dequantized value IS the logit. The head itself stays
+                    # int8 when its static scale is exported below — the
+                    # sparse NMS dequantizes only the gathered survivor
+                    # cells (ops/nms.py head_scales), so the full f32 head
+                    # tensors are never materialised.
+                    if prev[0] == 'q' and head_keep_q[len(obj_out)]:
                         om = (prev[1][..., 4::lyr.no].astype(jnp.float32)
                               * prev[2])
+                        head_out.append(prev[1])
                     else:
-                        om = prev[1][..., 4::lyr.no].astype(jnp.float32)
+                        hf = _as_float(prev)
+                        om = hf[..., 4::lyr.no]
+                        head_out.append(hf)
                     obj_out.append(om)
                 else:
+                    hf = _as_float(prev)
                     yolo_p.append(reshape_pred(hf, lyr.na, lyr.no))
-                head_out.append(hf)
+                    head_out.append(hf)
             if lyr.is_routed:
                 outs[lyr.index] = prev
 
@@ -345,4 +381,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 yi += 1
         return jnp.concatenate(ios, axis=1), yolo_p
 
+    # pass as head_scales= to non_max_suppression_heads alongside the int8
+    # head_out tensors
+    apply.head_scales = tuple(head_scales)
     return apply

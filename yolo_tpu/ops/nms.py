@@ -204,7 +204,7 @@ def _suppress_and_finalize(boxes, oboxes, cand_scores, cls_idx, valid,
 
 
 def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
-                      objs=None):
+                      objs=None, head_scales=None):
     """Sparse decode: box pre-selection straight from the NHWC head-conv
     outputs, skipping the (bs, N, 5+nc) io materialisation entirely.
 
@@ -228,6 +228,11 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
     <= quota/na globally is guaranteed in-buffer; sub-threshold siblings
     are score-zeroed downstream.
 
+    head_scales: optional per-scale dequant factors (int8 engine heads):
+    the head tensors stay int8 in HBM (quarter the f32 bytes) and only the
+    gathered survivor rows are dequantized. Entries may be None (float
+    head, e.g. a TPSQ unquantized edge).
+
     Returns (box_xywh, obj, cls) batched, stage-2 ready.
     """
     bs = heads[0].shape[0]
@@ -244,10 +249,12 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
         logit_thres = -math.inf
     if objs is None:
         objs = [None] * len(heads)
+    if head_scales is None:
+        head_scales = [None] * len(heads)
 
     rows_all, obj_all = [], []
-    for x, om, (ny, nx, na), anc, stride in zip(heads, objs, sizes, anchors,
-                                                strides):
+    for x, om, hs, (ny, nx, na), anc, stride in zip(heads, objs, head_scales,
+                                                    sizes, anchors, strides):
         n_s = ny * nx * na
         # per-scale quota: at least top_k (one scale may host every final
         # detection) + proportional share of the global buffer
@@ -263,16 +270,22 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
             cells = jnp.take_along_axis(x.reshape(bs, n_c, na * no),
                                         cidx[..., None], axis=1)
             rows = cells.reshape(bs, k_c * na, no).astype(jnp.float32)
+            if hs is not None:
+                rows = rows * jnp.float32(hs)
             cell = jnp.repeat(cidx, na, axis=1)            # (bs, k_c*na)
             a = jnp.tile(jnp.arange(na), k_c)[None]
         else:
             # row mode: rank (cell, anchor) rows directly
             v = x.reshape(bs, n_s, no)                 # row i = (y*nx+x)*na+a
             obj_logit = v[..., 4].astype(jnp.float32)
+            if hs is not None:
+                obj_logit = obj_logit * jnp.float32(hs)
             masked = jnp.where(obj_logit > logit_thres, obj_logit, -jnp.inf)
             _, idx = lax.approx_max_k(masked, k_s, recall_target=0.99)
             rows = jnp.take_along_axis(v, idx[..., None], axis=1)
             rows = rows.astype(jnp.float32)            # (bs, k_s, no)
+            if hs is not None:
+                rows = rows * jnp.float32(hs)
             a = idx % na
             cell = idx // na
 
@@ -311,16 +324,19 @@ def non_max_suppression_heads(heads, anchors, strides, no: int,
                               multi_label: bool = True, agnostic: bool = False,
                               merge: bool = True, max_sweeps: int = 16,
                               use_pallas: bool | None = None, objs=None,
-                              classes: tuple | None = None):
+                              classes: tuple | None = None,
+                              head_scales=None):
     """Batched NMS straight from the raw NHWC head-conv outputs.
 
     Same contract as :func:`non_max_suppression` but the decode is sparse:
     only boxes surviving the objectness top-k are ever decoded. heads:
     list of (bs, ny, nx, na*no); anchors: tuple of (na, 2) pixel tuples;
     strides: tuple of ints; objs: optional per-scale objectness-logit maps
-    (make_apply heads_only obj_out). Output (bs, max_det, 6)."""
+    (make_apply heads_only obj_out); head_scales: per-scale dequant
+    factors for int8 heads (int8 engine). Output (bs, max_det, 6)."""
     box_xywh, obj, cls = _heads_candidates(
-        heads, anchors, strides, no, conf_thres, top_k, objs=objs)
+        heads, anchors, strides, no, conf_thres, top_k, objs=objs,
+        head_scales=head_scales)
     boxes, oboxes, cand_scores, cls_idx, valid = jax.vmap(
         partial(_pairs, conf_thres=conf_thres, top_k=top_k,
                 multi_label=multi_label, agnostic=agnostic,
