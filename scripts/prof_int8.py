@@ -68,14 +68,27 @@ def main():
         run(opt, pipeline, fused)
         return
 
-    # calibrate at small size (per-tensor scales are size-independent)
+    # calibrate at small size (per-tensor scales are size-independent);
+    # cache to disk — the fake-quant calibration graph costs minutes of
+    # fresh XLA compile per run otherwise
+    import pickle
     cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
-    qstate, _ = Q.init_quant_state(net, cfg)
-    apply_q = Q.make_quant_apply(net, cfg)
-    xs = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3)) * 0.3 + 0.4
-    st, qs = state, qstate
-    for _ in range(2):
-        _, st, qs = apply_q(params, st, qs, xs, train=True)
+    cache = '/tmp/prof_int8_calib.pkl'
+    if os.path.exists(cache):
+        with open(cache, 'rb') as f:
+            st, qs = pickle.load(f)
+        st = jax.tree_util.tree_map(jnp.asarray, st)
+        qs = jax.tree_util.tree_map(jnp.asarray, qs)
+    else:
+        qstate, _ = Q.init_quant_state(net, cfg)
+        apply_q = Q.make_quant_apply(net, cfg)
+        xs = (jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
+              * 0.3 + 0.4)
+        st, qs = state, qstate
+        for _ in range(2):
+            _, st, qs = apply_q(params, st, qs, xs, train=True)
+        with open(cache, 'wb') as f:
+            pickle.dump((jax.device_get(st), jax.device_get(qs)), f)
     plan = prepare_int8(net, params, st, qs, cfg)
     eng = make_int8_apply(net, plan, backend=opt.backend,
                           pallas_min_hw=opt.pallas_min_hw,

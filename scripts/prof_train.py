@@ -1,0 +1,95 @@
+"""Profile the jitted training step (yolov3, bs and size configurable).
+
+VERDICT r1 next-round #4: measure the 608px train step, locate the MFU gap
+(inference runs ~66% of bf16 peak; round-1 training was ~40-45% at 416px),
+and attack BN-stat fusion / remat / host syncs. Dumps hlo_stats top rows.
+
+Usage: python scripts/prof_train.py [--bs 64] [--size 608] [--trace]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--bs', type=int, default=64)
+    p.add_argument('--size', type=int, default=608)
+    p.add_argument('--trace', action='store_true')
+    p.add_argument('--trace-dir', default='/tmp/jtrace_train')
+    p.add_argument('--top', type=int, default=35)
+    p.add_argument('--accum', type=int, default=1)
+    opt = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.train.loss import LossHyp, pad_targets
+    from yolo_tpu.train.schedules import burn_in_scalars
+    from yolo_tpu.train.trainer import init_train_state, make_train_functions
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    net = build_ir(os.path.join(root, 'cfg/yolov3/yolov3.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    anchor_vecs = [l.anchors / l.yolo_stride for l in net.layers
+                   if l.kind == 'yolo']
+    grad_fn, update_fn = make_train_functions(
+        net, anchor_vecs, nc=80, hyp=LossHyp(),
+        compute_dtype=jnp.bfloat16)
+    ts = init_train_state(params, state, use_ema=True)
+
+    bs = opt.bs
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(bs, opt.size, opt.size, 3).astype(np.float32))
+    labels = [np.array([[1, .5, .5, .2, .3], [0, .3, .3, .1, .1]],
+                       np.float32)] * bs
+    tgt, valid = pad_targets(labels, 32)
+    tgt, valid = jnp.asarray(tgt), jnp.asarray(valid)
+    scalars, gr, _ = burn_in_scalars(1000, 500, 0, lr0=0.01, momentum=0.937,
+                                     weight_decay=5e-4, epochs=10,
+                                     batch_size=bs)
+
+    def step(ts):
+        for _ in range(opt.accum):
+            ts, items = grad_fn(ts, x, tgt, valid, gr, 1.0)
+        ts = update_fn(ts, scalars)
+        return ts, items
+
+    t0 = time.perf_counter()
+    ts, items = step(ts)
+    np.asarray(items)
+    print(f'compile+first step: {time.perf_counter() - t0:.1f}s', flush=True)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, items = step(ts)
+    np.asarray(items)
+    dt = time.perf_counter() - t0
+    n_img = bs * opt.accum
+    print(f'train bs={bs} size={opt.size} accum={opt.accum}: '
+          f'{dt / iters * 1e3:.1f} ms/step, {n_img * iters / dt:.0f} img/s',
+          flush=True)
+
+    if not opt.trace:
+        return
+    os.system(f'rm -rf {opt.trace_dir}')
+    jax.profiler.start_trace(opt.trace_dir)
+    for _ in range(2):
+        ts, items = step(ts)
+    np.asarray(items)
+    jax.profiler.stop_trace()
+    from prof_int8 import dump_hlo_stats
+    dump_hlo_stats(opt.trace_dir, opt.top)
+
+
+if __name__ == '__main__':
+    main()

@@ -139,6 +139,29 @@ def test_engine_heads_mode_matches_io(toy):
     np.testing.assert_allclose(sparse, dense, rtol=1e-4, atol=1e-4)
 
 
+def test_make_infer_int8_engine(tmp_path):
+    """ModelBundle.make_infer(engine=True) runs the true-int8 engine +
+    sparse NMS end to end and tracks the fake-quant sim's detections."""
+    from yolo_tpu.runtime import load_model
+    p = tmp_path / 'toy.cfg'
+    p.write_text(TOY_CFG)
+    b = load_model(str(p), quantized=3, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 3)) * 0.3 + 0.4
+    calib = jax.jit(lambda pa, s, q, xx: b._apply(pa, s, q, xx, True))
+    st, qs = b.state, b.qstate
+    for _ in range(3):
+        _, st, qs = calib(b.params, st, qs, x)
+    b.state, b.qstate = st, qs
+    d_sim = np.asarray(b.make_infer(conf_thres=0.05, engine=False)(x))
+    d_eng = np.asarray(b.make_infer(conf_thres=0.05, engine=True)(x))
+    assert d_eng.shape == d_sim.shape
+    assert np.isfinite(d_eng).all()
+    # same detection survivors within requant rounding
+    n_sim, n_eng = (d_sim[..., 4] > 0).sum(), (d_eng[..., 4] > 0).sum()
+    assert abs(int(n_sim) - int(n_eng)) <= max(2, int(0.2 * n_sim)), \
+        (n_sim, n_eng)
+
+
 def test_engine_mixed_backend_matches_xla(toy):
     """'mixed' (bf16 MXU compute above bf16_min_hw, int8 edges + per-layer
     requant preserved) tracks the all-s8 engine within requant rounding."""

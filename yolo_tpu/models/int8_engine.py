@@ -136,16 +136,19 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
 
 def _as_float(t):
     if t[0] == 'f':
-        return t[1]
+        a = t[1]
+        return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
     return t[1].astype(jnp.float32) * t[2]
 
 
 def _requant(t, scale, bits):
-    """Re-quantize a carried edge to ``scale`` (saturating)."""
+    """Re-quantize a carried edge to ``scale`` (saturating). Multiplies by
+    the inverse — exact for the pow-2 scale family, and an f32 division
+    would throttle the fused epilogue."""
     qmin, qmax = qrange(bits, True)
     if t[0] == 'q' and t[2] == scale:
         return t
-    y = round_half_away(_as_float(t) / scale)
+    y = round_half_away(_as_float(t) * (1.0 / scale))
     return ('q', jnp.clip(y, qmin, qmax).astype(jnp.int8), scale)
 
 
@@ -197,20 +200,43 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         s_min = (stride if isinstance(stride, int)
                  else min(stride[0], stride[1]))
         out_hw = -(-min(t[1].shape[1], t[1].shape[2]) // max(s_min, 1))
-        if (use_mixed and t[0] == 'q' and lyr.size > 1
-                and out_hw >= bf16_min_hw):
-            # mixed backend, per-layer best-of measured on v5e (hlo_stats
-            # 2026-08-17, yolov3 @608 bs128): XLA's s8 KxK convs collapse
+        if (use_mixed and out_hw >= bf16_min_hw
+                and lyr.index not in head_conv_ids):
+            # mixed backend (measured on v5e, hlo_stats 2026-08-17, yolov3
+            # @608 bs128): XLA's s8 convs collapse to 12-30% of int8 peak
             # on high-resolution maps (304->152 s2: 19.1 ms s8 vs 6.9 bf16;
             # 76px 3x3: 3.8 vs 2.3 — bf16 runs at ~94% of its MXU peak
-            # there), while s8 wins on every 1x1 (HBM-bound, bytes halve:
-            # 304px 1x1 1.8 vs 3.3) and on deep KxK (76->38 s2: 1.6 vs 2.3;
-            # 19px 3x3: 1.8 vs 2.7). Rule: KxK convs whose OUTPUT map is
-            # >= bf16_min_hw compute in bf16 from the dequantized int8
-            # edge; everything else stays s8. int8 HBM edges and per-layer
-            # requantization are kept either way, so the arithmetic still
-            # tracks the fake-quant sim.
-            t = ('f', t[1].astype(jnp.bfloat16) * jnp.bfloat16(t[2]))
+            # there), and per-layer s8<->bf16 transitions materialise
+            # dequant passes that eat any per-op win (mixed-v2 measured
+            # 161 ms vs 160 all-s8). So the whole high-resolution region
+            # runs the bf16 pipeline shape-for-shape, but with FAKE-QUANT
+            # epilogues: dequantized-int8 weights, and each conv output
+            # snapped to its activation grid (clip(round(y/sa))*sa) inside
+            # the fused epilogue. Edges stay bf16-on-the-int8-grid
+            # (('f', y, sa) 3-tuples) until the single transition below
+            # bf16_min_hw, where one exact requant (values already on the
+            # grid) switches to s8 edges. Arithmetic still tracks the
+            # fake-quant sim; head convs are pinned to s8 so the exported
+            # head_scales contract stays static.
+            xf = t[1] if t[0] == 'f' else (t[1].astype(jnp.bfloat16)
+                                           * jnp.bfloat16(t[2]))
+            wf = arr['w8'].astype(jnp.bfloat16) * jnp.bfloat16(m['sw'])
+            y = conv_ops.conv2d(xf.astype(jnp.bfloat16), wf, stride=stride,
+                                padding=lyr.pad, groups=lyr.groups,
+                                compute_dtype=jnp.bfloat16)
+            y = y + arr['bias'].astype(jnp.bfloat16)
+            y = act_mod.get(lyr.activation, plan.maxabsscaler)(y)
+            # grid-snap epilogue, all bf16: multiply by the precomputed
+            # pow-2 inverse (exact — scales are pow-2) instead of an f32
+            # division; the f32-division variant measured 1.7x slower convs
+            # (the fused VPU tail throttled the MXU, hlo_stats 2026-08-17)
+            q = jnp.clip(round_half_away(y * jnp.bfloat16(1.0 / m['sa'])),
+                         qmin, qmax)
+            return ('f', q * jnp.bfloat16(m['sa']), m['sa'])
+        if use_mixed and t[0] == 'f' and len(t) == 3:
+            # bf16->s8 region transition: values sit on the t[2] grid, so
+            # this requant is exact
+            t = _requant(t, t[2], bits)
         if t[0] == 'q':
             s_int = stride if isinstance(stride, int) else stride[0]
             if (use_pallas and not isinstance(stride, (tuple, list))
@@ -241,10 +267,13 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             y = y.astype(jnp.float32)
         y = y + arr['bias']
         y = act_mod.get(lyr.activation, plan.maxabsscaler)(y)
-        q = jnp.clip(round_half_away(y / m['sa']), qmin, qmax)
+        # multiply by the exact pow-2 inverse — XLA cannot strength-reduce
+        # a true f32 division and it throttles the fused epilogue
+        q = jnp.clip(round_half_away(y * (1.0 / m['sa'])), qmin, qmax)
         return ('q', q.astype(jnp.int8), m['sa'])
 
     def shortcut_i8(lyr, t, outs):
+        prefer_float = use_mixed and t[0] == 'f'
         k = str(lyr.index)
         if k not in meta:           # unquantized shortcut (tpsq) — float
             x = _as_float(t)
@@ -252,17 +281,30 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 x = x + _as_float(outs[j])
             return ('f', x)
         m = meta[k]
-        x = _as_float(t)
+        # scales are pure pow-2 (google: pow2/128, cospt: exp2/128), so the
+        # precomputed inverses are exact and every fq below is a multiply,
+        # never an f32 division; the mixed bf16 region runs the whole chain
+        # in bf16 (values stay on 8-bit grids — exactly representable)
+        dt = jnp.bfloat16 if prefer_float else jnp.float32
+        in_s, inv_in = dt(m['in_scale']), dt(1.0 / m['in_scale'])
+        sc, inv_sc = dt(m['sc']), dt(1.0 / m['sc'])
+
+        def asdt(e):
+            if e[0] == 'f':
+                return e[1] if e[1].dtype == dt else e[1].astype(dt)
+            return e[1].astype(dt) * dt(e[2])
+
+        x = asdt(t)
         for j in lyr.layers:
-            a = _as_float(outs[j])
+            a = asdt(outs[j])
             if plan.shortcut_way == 2:      # max-way: saturating fq
-                xq = jnp.clip(round_half_away(x / m['in_scale']),
-                              qmin, qmax) * m['in_scale']
-                aq = jnp.clip(round_half_away(a / m['in_scale']),
-                              qmin, qmax) * m['in_scale']
+                xq = jnp.clip(round_half_away(x * inv_in),
+                              qmin, qmax) * in_s
+                aq = jnp.clip(round_half_away(a * inv_in),
+                              qmin, qmax) * in_s
             else:                            # min-way: round, no clamp
-                xq = round_half_away(x / m['in_scale']) * m['in_scale']
-                aq = round_half_away(a / m['in_scale']) * m['in_scale']
+                xq = round_half_away(x * inv_in) * in_s
+                aq = round_half_away(a * inv_in) * in_s
             nx_, na_ = xq.shape[-1], aq.shape[-1]
             if nx_ == na_:
                 s = xq + aq
@@ -270,8 +312,10 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 s = jnp.concatenate([xq[..., :na_] + aq, xq[..., na_:]], -1)
             else:
                 s = xq + aq[..., :nx_]
-            x = jnp.clip(round_half_away(s / m['sc']), qmin, qmax) * m['sc']
-        q = jnp.clip(round_half_away(x / m['sc']), qmin, qmax)
+            x = jnp.clip(round_half_away(s * inv_sc), qmin, qmax) * sc
+        q = jnp.clip(round_half_away(x * inv_sc), qmin, qmax)
+        if prefer_float:    # mixed bf16 region: stay on the grid, in bf16
+            return ('f', q * sc, m['sc'])
         return ('q', q.astype(jnp.int8), m['sc'])
 
     # static per-yolo head dequant scales for the sparse NMS (None where
@@ -279,10 +323,12 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     # right after its head conv, so prev at the yolo layer is that conv's
     # output with scale meta['sa']
     head_scales = []
+    head_conv_ids = set()
     for i, lyr in enumerate(layers):
-        if lyr.kind == 'yolo':
-            hk = str(layers[i - 1].index) if i else ''
-            head_scales.append(meta.get(hk, {}).get('sa'))
+        if lyr.kind == 'yolo' and i:
+            head_scales.append(meta.get(str(layers[i - 1].index),
+                                        {}).get('sa'))
+            head_conv_ids.add(layers[i - 1].index)
     head_keep_q = [s is not None for s in head_scales]
 
     def apply(arrays, x):
@@ -296,13 +342,12 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             if lyr.kind in ('conv', 'depthwise'):
                 prev = conv_i8(lyr, arrays[k], prev)
             elif lyr.kind == 'maxpool':
-                # monotonic: safe directly on int8
-                kind, a = prev[0], prev[1]
-                pooled = conv_ops.max_pool(a, lyr.size, lyr.stride)
-                prev = (kind, pooled) if kind == 'f' else (kind, pooled, prev[2])
+                # monotonic: safe directly on int8 (and grid-preserving)
+                pooled = conv_ops.max_pool(prev[1], lyr.size, lyr.stride)
+                prev = (prev[0], pooled, *prev[2:])
             elif lyr.kind == 'upsample':
                 a = conv_ops.upsample_nearest(prev[1], lyr.stride)
-                prev = ('f', a) if prev[0] == 'f' else ('q', a, prev[2])
+                prev = (prev[0], a, *prev[2:])
             elif lyr.kind == 'route':
                 if len(lyr.layers) > 1:
                     parts = [outs[j] for j in lyr.layers]
@@ -314,12 +359,8 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                         prev = ('f', jnp.concatenate(
                             [_as_float(t) for t in parts], -1))
                 elif lyr.route_groups:
-                    if prev[0] == 'q':
-                        c = prev[1].shape[-1]
-                        prev = ('q', prev[1][..., c // 2:], prev[2])
-                    else:
-                        c = prev[1].shape[-1]
-                        prev = ('f', prev[1][..., c // 2:])
+                    c = prev[1].shape[-1]
+                    prev = (prev[0], prev[1][..., c // 2:], *prev[2:])
                 else:
                     prev = outs[lyr.layers[0]]
             elif lyr.kind == 'shortcut':

@@ -86,7 +86,7 @@ class ModelBundle:
 
     def make_infer(self, conf_thres=0.3, iou_thres=0.6, top_k=512,
                    max_det=300, multi_label=True, agnostic=False,
-                   augment=False, sparse=None, classes=None):
+                   augment=False, sparse=None, classes=None, engine=None):
         """Jitted full pipeline: forward + decode + batched NMS.
 
         ``augment`` = test-time augmentation (original + flip@0.83 + 0.67
@@ -95,7 +95,13 @@ class ModelBundle:
         ``sparse`` selects the sparse-decode NMS path (objectness top-k on
         raw head logits, decode only survivors — skips the (bs, N, 5+nc)
         io materialisation, ~15% e2e on v5e @608). Default: on for plain
-        float inference on TPU; the dense path everywhere else."""
+        float inference on TPU; the dense path everywhere else.
+
+        ``engine``: quantized models only — run the true-int8 MXU engine
+        (models/int8_engine.py: real s8 convs, int8 HBM edges, int8 heads
+        into the sparse NMS) instead of the fake-quant simulation. Default
+        None = auto: the engine on TPU when the scheme exports frozen
+        scales (google/ptq_cos), the sim elsewhere."""
         if augment and self.quantized:
             print('WARNING: --augment (TTA) is not supported with quantized '
                   'inference; running single-pass')
@@ -115,6 +121,34 @@ class ModelBundle:
             jfn = jax.jit(fn)
             return lambda x: jfn(self.params, self.state, x)
         if self.quantized:
+            if engine is None:
+                engine = (jax.default_backend() == 'tpu'
+                          and self.qcfg.scheme in ('google', 'ptq_cos'))
+            if engine:
+                from .models.int8_engine import (make_int8_apply,
+                                                 prepare_int8)
+                from .ops.nms import non_max_suppression_heads
+                plan = prepare_int8(self.net, self.params, self.state,
+                                    self.qstate, self.qcfg)
+                eng = make_int8_apply(self.net, plan, backend='auto',
+                                      heads_only=True)
+                yolos = [l for l in self.net.layers if l.kind == 'yolo']
+                anchors = [l.anchors for l in yolos]
+                strides = [l.yolo_stride for l in yolos]
+                no = self.nc + 5
+
+                def fn(arrays, x):
+                    heads, objs = eng(arrays, x)
+                    return non_max_suppression_heads(
+                        heads, anchors, strides, no, conf_thres=conf_thres,
+                        iou_thres=iou_thres, top_k=top_k, max_det=max_det,
+                        multi_label=multi_label, agnostic=agnostic,
+                        objs=objs, classes=classes,
+                        head_scales=eng.head_scales)
+                jfn = jax.jit(fn)
+                arrays = plan.arrays
+                return lambda x: jfn(arrays, x)
+
             def fn(params, state, qstate, x):
                 io, _, _ = self._apply(params, state, qstate, x, False)
                 return non_max_suppression(
