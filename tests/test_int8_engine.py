@@ -163,8 +163,9 @@ def test_make_infer_int8_engine(tmp_path):
 
 
 def test_engine_mixed_backend_matches_xla(toy):
-    """'mixed' (bf16 MXU compute above bf16_min_hw, int8 edges + per-layer
-    requant preserved) tracks the all-s8 engine within requant rounding."""
+    """'mixed' (weight-only-quant bf16 region above bf16_min_hw — plain
+    bf16 activations, no per-layer snap — one exact pow-2 requant into the
+    s8 deep region) tracks the all-s8 engine within requant rounding."""
     net, params, state = toy
     cfg, _, qs, x = _calibrated(net, params, state)
     plan = prepare_int8(net, params, state, qs, cfg)

@@ -24,12 +24,15 @@ Layers int8 cannot express (float input edge, SE, avgpool) fall back to
 bf16 for that edge only.
 
 Performance status (v5e, 2026-08-17): with ``heads_only`` + the
-sparse-decode NMS and every conv on XLA's s8 path (the current 'auto'
-default — see make_int8_apply), the engine runs 130 ms e2e @bs=64 608px
-(492 img/s) and 160 ms @bs=128 (800 img/s, 11.2x the reference GPU
-baseline) — within ~11% of the bf16 pipeline's 899 img/s, with int8 HBM
-edges (half the activation footprint). The engine doubles as the
-*semantics* reference for integer deployment (and the FPGA export path).
+sparse-decode NMS, the 'mixed' backend (TPU 'auto' default — bf16
+weight-only-quant high-resolution region, s8 edges in the deep region,
+see make_int8_apply) runs 129.9 ms e2e @bs=128 608px = **986 img/s,
+13.8x the reference GPU baseline and ~10% FASTER than the bf16
+pipeline's 899** — int8 is the fast serving path, not just the
+deployment-semantics one. The bit-faithful all-s8 'xla' backend runs
+160 ms @bs=128 (800 img/s) with half the activation HBM footprint. The
+engine doubles as the *semantics* reference for integer deployment (and
+the FPGA export path).
 """
 
 from __future__ import annotations
@@ -169,19 +172,33 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     (bs, N, 5+nc) io build + decode entirely (profiled ~16 ms at
     608px/bs64 on v5e).
 
-    backend: 'pallas' routes supported convs (1x1 s1 / 3x3 s1,s2, same
-    padding, ungrouped) through the fused Pallas kernel
-    (ops/pallas_conv.py) when the input feature map is at least
-    ``pallas_min_hw`` pixels; smaller maps stay on XLA's s8 conv.
-    'auto'/'xla' keep every conv on lax.conv_general_dilated — re-measured
-    2026-08-17 after the heads_only/sparse-NMS rework, XLA's composed s8
-    convs beat the Pallas mix in every configuration (heads bs=64:
-    130 vs 159 ms; bs=128: 160 vs 230 ms; dense-io bs=64: 184 vs 194 ms
-    @608 on v5e) — the layout-copy pathology that originally motivated the
-    kernel no longer composes into the graph. The kernel stays available
-    (and bit-exact parity-tested) as the layout-controlled alternative:
-    use pallas_interpret=True off-TPU, and pallas_min_hw=0 in tests to
-    cover every conv.
+    backend:
+      'auto'   — 'mixed' on TPU, 'xla' elsewhere (measured best, below);
+      'mixed'  — high-resolution region (conv OUTPUT map >= bf16_min_hw,
+                 yolo head convs excepted) runs weight-only quantization:
+                 int8-derived bf16 weights, plain bf16 activations, plain
+                 float residuals/concats — byte-identical per-op to the
+                 bf16 pipeline, which XLA runs at ~94% MXU efficiency
+                 where its s8 convs collapse to 12-30% of int8 peak. One
+                 exact requant at the transition switches to s8 edges for
+                 the deep region where s8 genuinely wins (38px 3x3: 2.29
+                 vs 2.25 ms; 19px 3x3: 1.81 vs 2.69; 1x1s HBM-halved).
+                 v5e @608 bs=128: 129.9 ms e2e = 986 img/s vs 142.5 bf16
+                 (hlo_stats 2026-08-17). The bf16 region is strictly MORE
+                 accurate than the per-layer fake-quant sim (activations
+                 unsnapped; any grid-snap tail fused into a KxK conv
+                 measured 1.5-2.4x slower — the convolution emitter loses
+                 its fast path);
+      'xla'    — every conv on lax.conv_general_dilated s8: the bit-
+                 faithful integer reference (engine ≈ sim per-layer),
+                 160 ms @608/bs128;
+      'pallas' — routes supported convs (1x1 s1 / 3x3 s1,s2, same pad,
+                 ungrouped, >= pallas_min_hw) through the fused Pallas
+                 kernel (ops/pallas_conv.py). Per-op it wins only on 76px
+                 3x3s (2.02 vs 2.30 bf16); composed it loses (269 ms: s2d/
+                 pad copies + unfused shortcut requant passes). Kept as
+                 the layout-controlled, parity-tested alternative
+                 (pallas_interpret=True off-TPU, pallas_min_hw=0 in tests).
     """
     from ..ops import pallas_conv
     layers = net.layers
@@ -190,6 +207,8 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
     meta = plan.meta
     if backend not in ('auto', 'pallas', 'xla', 'mixed'):
         raise ValueError(f'unknown int8 backend {backend!r}')
+    if backend == 'auto':
+        backend = 'mixed' if _on_tpu() else 'xla'
     use_pallas = backend == 'pallas'
     use_mixed = backend == 'mixed'
 
@@ -218,6 +237,15 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             # grid) switches to s8 edges. Arithmetic still tracks the
             # fake-quant sim; head convs are pinned to s8 so the exported
             # head_scales contract stays static.
+            # NO per-layer activation snap here: any grid-snap tail fused
+            # into a KxK convolution measured 1.5-2.4x slower on v5e (the
+            # convolution emitter loses its fast path; 1x1s, which lower
+            # to dots, are unaffected). The bf16 region therefore runs
+            # weight-only quantization — int8-derived weights, plain bf16
+            # activations (strictly MORE accurate than the per-layer-
+            # snapped sim) — and the single activation quantization
+            # happens at the s8 transition below, using the producer's
+            # own calibrated scale.
             xf = t[1] if t[0] == 'f' else (t[1].astype(jnp.bfloat16)
                                            * jnp.bfloat16(t[2]))
             wf = arr['w8'].astype(jnp.bfloat16) * jnp.bfloat16(m['sw'])
@@ -226,13 +254,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                                 compute_dtype=jnp.bfloat16)
             y = y + arr['bias'].astype(jnp.bfloat16)
             y = act_mod.get(lyr.activation, plan.maxabsscaler)(y)
-            # grid-snap epilogue, all bf16: multiply by the precomputed
-            # pow-2 inverse (exact — scales are pow-2) instead of an f32
-            # division; the f32-division variant measured 1.7x slower convs
-            # (the fused VPU tail throttled the MXU, hlo_stats 2026-08-17)
-            q = jnp.clip(round_half_away(y * jnp.bfloat16(1.0 / m['sa'])),
-                         qmin, qmax)
-            return ('f', q * jnp.bfloat16(m['sa']), m['sa'])
+            return ('f', y, m['sa'])
         if use_mixed and t[0] == 'f' and len(t) == 3:
             # bf16->s8 region transition: values sit on the t[2] grid, so
             # this requant is exact
@@ -280,6 +302,23 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             for j in lyr.layers:
                 x = x + _as_float(outs[j])
             return ('f', x)
+        if prefer_float:
+            # mixed bf16 region: plain float residual (weight-only
+            # quantization — see conv_i8); the calibrated sum scale rides
+            # along for the eventual s8 transition
+            x = t[1]
+            for j in lyr.layers:
+                e = outs[j]
+                a = (e[1] if e[0] == 'f' else
+                     e[1].astype(x.dtype) * jnp.asarray(e[2], x.dtype))
+                nx_, na_ = x.shape[-1], a.shape[-1]
+                if nx_ == na_:
+                    x = x + a
+                elif nx_ > na_:
+                    x = jnp.concatenate([x[..., :na_] + a, x[..., na_:]], -1)
+                else:
+                    x = x + a[..., :nx_]
+            return ('f', x, meta[k]['sc'])
         m = meta[k]
         # scales are pure pow-2 (google: pow2/128, cospt: exp2/128), so the
         # precomputed inverses are exact and every fq below is a multiply,
@@ -351,7 +390,16 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             elif lyr.kind == 'route':
                 if len(lyr.layers) > 1:
                     parts = [outs[j] for j in lyr.layers]
-                    if k in meta:   # requantized concat at the common scale
+                    if (use_mixed and k in meta
+                            and any(t[0] == 'f' for t in parts)):
+                        # a bf16-region part: float concat (weight-only
+                        # quantization), carrying the calibrated common
+                        # scale for the s8 transition
+                        fp = [t[1].astype(jnp.bfloat16) if t[0] == 'f'
+                              else t[1].astype(jnp.bfloat16)
+                              * jnp.bfloat16(t[2]) for t in parts]
+                        prev = ('f', jnp.concatenate(fp, -1), meta[k]['rs'])
+                    elif k in meta:  # requantized concat at the common scale
                         rs = meta[k]['rs']
                         parts = [_requant(t, rs, bits)[1] for t in parts]
                         prev = ('q', jnp.concatenate(parts, -1), rs)
