@@ -1,12 +1,14 @@
 """Fused int8 conv Pallas kernel: s8 x s8 -> s32 MXU conv + epilogue.
 
-The true-int8 engine (models/int8_engine.py) composes ``lax.conv`` s8 convs,
-but XLA's TPU backend assigns batch-minor layouts to s8 activations in the
-composed program and inserts ~20 ms relayout copies per early layer, so the
-engine trails bf16 end-to-end. This kernel owns the whole quantized conv —
-int8 NHWC in, int8 NHWC out, epilogue fused — so activations flow between
-layers in plain row-major int8 HBM buffers and XLA's layout assignment never
-sees an s8 conv at all.
+Historically XLA's TPU backend assigned batch-minor layouts to s8
+activations in the composed engine program and inserted ~20 ms relayout
+copies per early layer; this kernel owns the whole quantized conv — int8
+NHWC in, int8 NHWC out, epilogue fused — so activations flow between
+layers in plain row-major int8 HBM buffers and XLA's layout assignment
+never sees an s8 conv at all. After the heads_only/sparse-NMS rework that
+pathology no longer composes into the graph and the engine's measured-best
+backends are 'mixed'/'xla' (see models/int8_engine.py make_int8_apply);
+the kernel remains the parity-tested, layout-controlled alternative.
 
 Reference semantics (what the epilogue must reproduce): the reference's
 quantized conv dequantizes the s32 accumulator with the input*weight scale,
@@ -39,7 +41,7 @@ Design (one pallas_call per conv layer):
 
 Mosaic constraints probed on v5e (2026-08), which shape this design:
   - manual ANY->VMEM DMA under a grid crashes the compiler -> BlockSpec
-    pipelining over pre-gathered slabs instead;
+    pipelining (today: the halo-row operands above) instead;
   - int8 dot operands with an odd second-minor (sublane) dim and a
     contraction (lane) dim < 128 crash the compiler -> W_T is padded to a
     multiple of 8 and the kernel computes/stores the padded width;
