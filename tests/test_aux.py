@@ -158,3 +158,47 @@ def test_fpga_reorder_shapes():
     a = np.arange(64 * 4 * 4).reshape(64, 4, 4).astype(np.int8)
     ra = reorder_activations(a, TN=32)
     assert ra.size == a.size
+
+
+def test_coco_to_darknet_converter(tmp_path):
+    """scripts/coco_to_darknet.py: contiguous ids, clipping, crowd/degenerate
+    filtering, loader-compatible images->labels layout (ref data/get_coco2017.sh
+    label pack equivalent)."""
+    import json
+    import subprocess
+    import sys
+    import cv2
+    img_dir = tmp_path / 'images' / 'val2017'
+    img_dir.mkdir(parents=True)
+    for fn in ('a.jpg', 'b.jpg'):
+        cv2.imwrite(str(img_dir / fn), np.zeros((100, 200, 3), np.uint8))
+    coco = {
+        'images': [{'id': 1, 'file_name': 'a.jpg', 'width': 200, 'height': 100},
+                   {'id': 2, 'file_name': 'b.jpg', 'width': 200, 'height': 100}],
+        'categories': [{'id': 1}, {'id': 3}, {'id': 90}],
+        'annotations': [
+            {'image_id': 1, 'category_id': 3, 'bbox': [50, 25, 100, 50], 'iscrowd': 0},
+            {'image_id': 1, 'category_id': 90, 'bbox': [-5, -5, 20, 20], 'iscrowd': 0},
+            {'image_id': 1, 'category_id': 1, 'bbox': [0, 0, 0.5, 30], 'iscrowd': 0},
+            {'image_id': 2, 'category_id': 1, 'bbox': [10, 10, 40, 40], 'iscrowd': 1}],
+    }
+    ann = tmp_path / 'inst.json'
+    ann.write_text(json.dumps(coco))
+    script = os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                          'coco_to_darknet.py')
+    subprocess.run([sys.executable, script, '--ann', str(ann),
+                    '--images', str(img_dir), '--out', str(tmp_path),
+                    '--list', str(tmp_path / 'val.txt')], check=True)
+    rows = (tmp_path / 'labels' / 'val2017' / 'a.txt').read_text().strip().split('\n')
+    assert len(rows) == 2  # degenerate 0.5px box dropped
+    vals = [float(v) for v in rows[0].split()]
+    assert vals == [1, 0.5, 0.5, 0.5, 0.5]        # category id 3 -> class 1
+    assert rows[1].split()[0] == '2'              # id 90 -> contiguous 2
+    x, y, w, h = (float(v) for v in rows[1].split()[1:])
+    assert x - w / 2 >= 0 and y - h / 2 >= 0      # clipped into the image
+    assert not (tmp_path / 'labels' / 'val2017' / 'b.txt').exists()  # crowd-only
+    listed = (tmp_path / 'val.txt').read_text().split()
+    assert len(listed) == 2
+    # loader layout contract: images->labels path substitution
+    assert listed[0].replace('images', 'labels') \
+        .replace('.jpg', '.txt').endswith('labels/val2017/a.txt')
