@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 import time
-from functools import lru_cache
 from pathlib import Path
 
 import numpy as np
@@ -25,61 +24,16 @@ from .metrics import (ap_per_class, coco80_to_coco91_class, fitness,
                       match_predictions)
 
 
-def _xywh2xyxy_np(x):
-    y = np.copy(x)
-    y[..., 0] = x[..., 0] - x[..., 2] / 2
-    y[..., 1] = x[..., 1] - x[..., 3] / 2
-    y[..., 2] = x[..., 0] + x[..., 2] / 2
-    y[..., 3] = x[..., 1] + x[..., 3] / 2
-    return y
+_INFER_CACHE = {}
 
 
-def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
-             conf_thres=0.001, iou_thres=0.6, multi_label=True,
-             compute_dtype=jnp.bfloat16, fused=False, single_cls=False,
-             is_gray_scale=False, save_json=False, verbose=False,
-             max_det=300, top_k=512, iouv=(0.5,), dataset=None,
-             maxabsscaler=False, loader=None, progress=True,
-             quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
-             sparse=None, augment=False, device_match=True):
-    """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
-
-    ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
-    state={} are accepted via fused=True).
-
-    ``sparse``: use the sparse-decode NMS for the float path (objectness
-    top-k on raw head logits, only survivors decoded). Defaults on for TPU;
-    the quantized path always uses the dense io pipeline.
-
-    ``device_match``: run TP assignment inside the eval step
-    (eval/matching.py) instead of the host python loop — the reference's
-    per-image/per-class matching (test.py:157-181) bottlenecks a 1-core
-    host once the device clears ~900 img/s.
-    """
-    from ..runtime import preprocess as _pre   # function-level: avoids cycle
-    data_dict = parse_data_cfg(data)
-    nc = 1 if single_cls else int(data_dict['classes'])
-    names = load_classes(data_dict['names'])
-    path = data_dict['valid']
-    iouv_t = tuple(float(v) for v in iouv)   # static for the jitted matcher
-    iouv = np.asarray(iouv, np.float64)
-    niou = len(iouv)
-
-    # val losses reported alongside mAP when loss hyp attached
-    # (reference test.py:113-116)
-    want_loss = loss_hyp is not None and anchor_vecs is not None
-
-    if sparse is None:
-        sparse = jax.default_backend() == 'tpu'
-    if augment and quant_apply is not None:
-        print('WARNING: --augment (TTA) is not supported with quantized '
-              'evaluation; running single-pass')
-        augment = False
+def _build_infer(net, *, quant_apply, qstate, anchor_vecs, loss_hyp,
+                 want_loss, augment, sparse, fused, compute_dtype,
+                 maxabsscaler, conf_thres, iou_thres, top_k, max_det,
+                 multi_label, iouv_t, device_match, nc):
+    """Construct the jitted per-batch eval step (forward + NMS [+ loss,
+    + device TP matching]). See evaluate() for the cross-call cache."""
     if augment:
-        # TTA returns merged io only — no per-layer outputs for val losses
-        # (reference models.py:482-506 augment forward)
-        sparse = False
-        want_loss = False
         from ..models.network import make_augmented_apply
         aug_apply = make_augmented_apply(net, compute_dtype=compute_dtype,
                                          maxabsscaler=maxabsscaler,
@@ -88,8 +42,6 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         def fwd(params, state, x):
             return aug_apply(params, state, x), [], []
     elif quant_apply is not None:
-        sparse = False
-
         def fwd(params, state, x):
             return quant_apply(params, state, qstate, x, False)
     else:
@@ -149,6 +101,93 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                     anchor_vecs, nc, loss_hyp, 1.0)
                 return dets, items[:3], correct
             return dets, jnp.zeros(3), correct
+    return infer
+
+
+def _xywh2xyxy_np(x):
+    y = np.copy(x)
+    y[..., 0] = x[..., 0] - x[..., 2] / 2
+    y[..., 1] = x[..., 1] - x[..., 3] / 2
+    y[..., 2] = x[..., 0] + x[..., 2] / 2
+    y[..., 3] = x[..., 1] + x[..., 3] / 2
+    return y
+
+
+def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
+             conf_thres=0.001, iou_thres=0.6, multi_label=True,
+             compute_dtype=jnp.bfloat16, fused=False, single_cls=False,
+             is_gray_scale=False, save_json=False, verbose=False,
+             max_det=300, top_k=512, iouv=(0.5,), dataset=None,
+             maxabsscaler=False, loader=None, progress=True,
+             quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
+             sparse=None, augment=False, device_match=True):
+    """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
+
+    ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
+    state={} are accepted via fused=True).
+
+    ``sparse``: use the sparse-decode NMS for the float path (objectness
+    top-k on raw head logits, only survivors decoded). Defaults on for TPU;
+    the quantized path always uses the dense io pipeline.
+
+    ``device_match``: run TP assignment inside the eval step
+    (eval/matching.py) instead of the host python loop — the reference's
+    per-image/per-class matching (test.py:157-181) bottlenecks a 1-core
+    host once the device clears ~900 img/s.
+    """
+    from ..runtime import preprocess as _pre   # function-level: avoids cycle
+    data_dict = parse_data_cfg(data)
+    nc = 1 if single_cls else int(data_dict['classes'])
+    names = load_classes(data_dict['names'])
+    path = data_dict['valid']
+    iouv_t = tuple(float(v) for v in iouv)   # static for the jitted matcher
+    iouv = np.asarray(iouv, np.float64)
+    niou = len(iouv)
+
+    # val losses reported alongside mAP when loss hyp attached
+    # (reference test.py:113-116)
+    want_loss = loss_hyp is not None and anchor_vecs is not None
+
+    if sparse is None:
+        sparse = jax.default_backend() == 'tpu'
+    if augment and quant_apply is not None:
+        print('WARNING: --augment (TTA) is not supported with quantized '
+              'evaluation; running single-pass')
+        augment = False
+    if augment:
+        # TTA returns merged io only — no per-layer outputs for val losses
+        # (reference models.py:482-506 augment forward)
+        sparse = False
+        want_loss = False
+    elif quant_apply is not None:
+        sparse = False
+
+    # The jitted infer is cached across evaluate() calls: re-tracing +
+    # lowering the full graph is ~10 s of single-core Python per call (the
+    # persistent XLA cache only skips the compile), and per-epoch eval in
+    # the training loop would otherwise pay it every epoch. Keyed by object
+    # identity of the non-hashable closures (strong refs kept in the value,
+    # so ids stay valid for the cache's lifetime).
+    cache_key = (id(net), id(quant_apply), id(qstate), id(anchor_vecs),
+                 id(loss_hyp), want_loss, augment, sparse, fused,
+                 str(compute_dtype), maxabsscaler, conf_thres, iou_thres,
+                 top_k, max_det, multi_label, iouv_t, device_match, nc)
+    cached = _INFER_CACHE.get(cache_key)
+    if cached is not None:
+        infer = cached[0]
+    else:
+        infer = _build_infer(
+            net, quant_apply=quant_apply, qstate=qstate,
+            anchor_vecs=anchor_vecs, loss_hyp=loss_hyp, want_loss=want_loss,
+            augment=augment, sparse=sparse, fused=fused,
+            compute_dtype=compute_dtype, maxabsscaler=maxabsscaler,
+            conf_thres=conf_thres, iou_thres=iou_thres, top_k=top_k,
+            max_det=max_det, multi_label=multi_label, iouv_t=iouv_t,
+            device_match=device_match, nc=nc)
+        if len(_INFER_CACHE) >= 16:        # bound compiled-executable memory
+            _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
+        _INFER_CACHE[cache_key] = (infer, net, quant_apply, qstate,
+                                   anchor_vecs, loss_hyp)
 
     if loader is None:
         if dataset is None:
@@ -166,14 +205,40 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                                    'mAP@0.5', 'F1'))
     val_loss = np.zeros(3)
     n_batches = 0
-    for imgs, tgt, valid, paths, shapes in loader:
-        h, w = imgs.shape[1:3]
-        # uint8 across host->device, normalised on-device (runtime.preprocess)
+
+    def dispatch(batch):
+        """Upload + launch one batch; returns device futures (async)."""
+        imgs, tgt, valid, paths, shapes = batch
+        # uint8 across host->device, normalised on-device
+        # (runtime.preprocess); jitted calls dispatch asynchronously, so the
+        # transfer/compute of this batch overlaps the host-side stat work on
+        # the previous one (one-batch lookahead below)
         x = _pre(imgs, maxabsscaler)
-        t0 = time.perf_counter()
         dets, loss_items, correct_dev = infer(params, state, x,
                                               jnp.asarray(tgt),
                                               jnp.asarray(valid))
+        return (dets, loss_items, correct_dev, tgt, valid, paths, shapes,
+                imgs.shape[1:3])
+
+    it = iter(loader)
+    pending = None
+    while True:
+        nxt = next(it, None)
+        if nxt is not None:
+            t0 = time.perf_counter()
+            issued = dispatch(nxt)
+            t_inf += time.perf_counter() - t0
+        else:
+            issued = None
+        if pending is None:
+            if issued is None:
+                break
+            pending = issued
+            continue
+        (dets, loss_items, correct_dev, tgt, valid, paths, shapes,
+         (h, w)) = pending
+        pending = issued
+        t0 = time.perf_counter()
         dets_np = np.asarray(dets)            # np conversion = real sync
         det_list = to_host_detections(dets_np)
         correct_np = None if correct_dev is None else np.asarray(correct_dev)

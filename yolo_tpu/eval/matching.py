@@ -3,7 +3,8 @@
 The reference matches predictions to targets in a per-image, per-class
 Python loop on the host. At ~900 img/s device throughput on a 1-core host
 VM that loop becomes the eval bottleneck, so the greedy claim semantics are
-reproduced as a jittable ``lax.scan`` fused into the eval step:
+reproduced as a fully vectorised (scatter-min) assignment fused into the
+eval step:
 
   - predictions are processed in NMS output order (conf desc);
   - each prediction claims the best-IoU target of its own class/image;
@@ -22,7 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..ops.boxes import box_iou_matrix, xywh2xyxy
 
@@ -57,16 +57,20 @@ def match_device(dets, targets, valid, w: float, h: float,
                         iou, -1.0)
         pvalid = conf > 0
 
-        def step(claimed, i):
-            row = iou[i]
-            best = jnp.argmax(row)
-            biou = row[best]
-            claim = (biou > iouv_arr[0]) & (~claimed[best]) & pvalid[i]
-            corr = claim & (biou > iouv_arr)
-            return claimed.at[best].set(claimed[best] | claim), corr
-
-        _, correct = lax.scan(step, jnp.zeros(T, bool),
-                              jnp.arange(det.shape[0]))
-        return correct
+        # Greedy claim, vectorised. Each prediction's candidate target is its
+        # argmax row (independent of the claim state — the reference takes
+        # argmax BEFORE checking `claimed`), so target t is won by the FIRST
+        # eligible prediction (rows are conf-desc) whose argmax is t: one
+        # scatter-min replaces the 300-step sequential scan (which ran at
+        # ~1.6 s/batch on TPU; this is ~3 vector ops).
+        best = jnp.argmax(iou, axis=1)                      # (max_det,)
+        biou = jnp.take_along_axis(iou, best[:, None], 1)[:, 0]
+        eligible = (biou > iouv_arr[0]) & pvalid
+        idx = jnp.arange(det.shape[0])
+        sentinel = det.shape[0]
+        cand = jnp.where(eligible, idx, sentinel)
+        first = jnp.full(T, sentinel, cand.dtype).at[best].min(cand)
+        claim = eligible & (first[best] == idx)
+        return claim[:, None] & (biou[:, None] > iouv_arr[None, :])
 
     return jax.vmap(per_image)(jnp.arange(dets.shape[0]), dets)

@@ -262,5 +262,8 @@ def preprocess(imgs_uint8, maxabsscaler: bool = False):
     The batch crosses host->device as uint8 and is normalised on-device:
     4x less H2D traffic per step (decisive over slow links, and free
     bandwidth on PCIe hosts too)."""
-    x_u8 = jnp.asarray(np.ascontiguousarray(imgs_uint8))
+    if isinstance(imgs_uint8, jax.Array):
+        x_u8 = imgs_uint8          # already device-resident: no host bounce
+    else:
+        x_u8 = jnp.asarray(np.ascontiguousarray(imgs_uint8))
     return _normalize(x_u8, maxabsscaler)
