@@ -104,11 +104,17 @@ def init_params(rng, net: ir_mod.NetworkIR):
 
 def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                maxabsscaler: bool = False, fused: bool = False,
-               heads_only: bool = False) -> Callable:
+               heads_only: bool = False,
+               head_layout: str = 'anchor_major') -> Callable:
     """Build the network apply function.
 
     apply(params, state, x, train=False) ->
       train: ((yolo_p list, feature_out list), new_state)
+        yolo_p entries are (bs, na, ny, nx, no) — the reference layout
+        (models.py:404-408) — unless ``head_layout='nhwc'``, which emits
+        (bs, ny, nx, na, no): a free reshape of the NHWC head conv output
+        (no permute; saves ~6 ms of f32 data-formatting per step at
+        608px/bs64). compute_loss(layout='nhwc') consumes it directly.
       eval:  (io (bs, total, no), yolo_p list, feature_out list)
       eval + heads_only: (head_out, obj_out) — raw NHWC head-conv
         outputs (bs, ny, nx, na*no) plus per-scale objectness-logit maps
@@ -257,7 +263,11 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                 pass  # reorg3d is a reference no-op; dropout is inference-identity
 
             elif lyr.kind == 'yolo':
-                p_raw = reshape_pred(prev, lyr.na, lyr.no)
+                if head_layout == 'nhwc':
+                    bs_, ny_, nx_, _ = prev.shape
+                    p_raw = prev.reshape(bs_, ny_, nx_, lyr.na, lyr.no)
+                else:
+                    p_raw = reshape_pred(prev, lyr.na, lyr.no)
                 yolo_p.append(p_raw)
                 head_out.append(prev)   # NHWC conv output for transpose-free decode
                 obj_out.append(pending_obj.get(obj_src.get(lyr.index, -1)))

@@ -69,12 +69,20 @@ def batch_norm_train(x, gamma, beta, running_mean, running_var,
     Statistics are always computed in f32 — activations may be stored bf16
     (halves train-step HBM traffic) without degrading the running stats or
     the normalisation math; only the final y is cast back.
+
+    mean and E[x^2] are reduced in ONE pass over x (var = E[x^2] - mean^2)
+    so XLA fuses both reductions into a single read of the activation —
+    the two-pass (x - mean)^2 form cost a second full HBM read of every
+    BN'd feature map in the train step (hlo_stats: ~4 ms per stem layer
+    at 608px/bs64 on v5e). f32 accumulation keeps the cancellation error
+    of the E[x^2] form well under bf16 input noise.
     """
     axes = (0, 1, 2)
     n = x.shape[0] * x.shape[1] * x.shape[2]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes)
-    var = jnp.mean(jnp.square(xf - mean), axis=axes)  # biased
+    mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)  # biased
     y = ((xf - mean) * lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean

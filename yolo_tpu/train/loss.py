@@ -113,26 +113,33 @@ def build_targets_layer(targets, valid, anchor_vec, ny: int, nx: int,
 
 
 def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
-                 nc: int, hyp: LossHyp, gr=1.0):
+                 nc: int, hyp: LossHyp, gr=1.0, layout: str = 'anchor_major'):
     """Total detection loss.
 
-    p: list of raw per-layer predictions (bs, na, ny, nx, no).
+    p: list of raw per-layer predictions (bs, na, ny, nx, no), or
+    (bs, ny, nx, na, no) with ``layout='nhwc'`` (the transpose-free train
+    layout from make_apply(head_layout='nhwc') — identical math, the
+    gather/scatter indices just follow the native memory order).
     targets: (T, 6) padded; valid: (T,) bool. gr: giou-ratio scalar
     (burn-in ramped, reference train.py:357-358).
     Returns (loss, loss_items(4,)) with loss_items = [lbox, lobj, lcls, total]
     matching utils/utils.py:431-432.
+
+    Heads may arrive bf16 (train activations in the compute dtype); all loss
+    math runs f32, but the upcast happens per-consumer (the gathered rows,
+    the obj-logit slice) so no full-tensor f32 copy is ever materialised.
     """
     cp, cn = smooth_bce(hyp.smooth_eps)
     lbox = jnp.zeros(())
     lobj = jnp.zeros(())
     lcls = jnp.zeros(())
 
-    # heads may arrive bf16 (train activations in the compute dtype); all
-    # loss math runs f32 — XLA fuses the upcast into the consumers
-    p = [pi.astype(jnp.float32) for pi in p]
-
+    nhwc = layout == 'nhwc'
     for i, pi in enumerate(p):
-        bs, na, ny, nx, no = pi.shape
+        if nhwc:
+            bs, ny, nx, na, no = pi.shape
+        else:
+            bs, na, ny, nx, no = pi.shape
         lt = build_targets_layer(targets, valid, jnp.asarray(anchor_vecs[i]),
                                  ny, nx, hyp.iou_t)
         mask = lt.mask.reshape(-1)                                  # (na*T,)
@@ -142,7 +149,8 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
         gj = jnp.clip(lt.gj.reshape(-1), 0, ny - 1)
         gi = jnp.clip(lt.gi.reshape(-1), 0, nx - 1)
 
-        ps = pi[b, a, gj, gi]                                        # (na*T, no)
+        ps = (pi[b, gj, gi, a] if nhwc
+              else pi[b, a, gj, gi]).astype(jnp.float32)             # (na*T, no)
         pxy = jax.nn.sigmoid(ps[:, 0:2])
         pwh = jnp.clip(jnp.exp(ps[:, 2:4]), max=1e3) * lt.av.reshape(-1, 2)
         pbox = jnp.concatenate([pxy, pwh], axis=1)
@@ -156,13 +164,17 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
         tobj_val = (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(giou), 0)
         # drop invalid writes by pushing their batch index out of range
         b_w = jnp.where(mask, b, bs)
-        tobj = jnp.zeros((bs, na, ny, nx), pi.dtype)
-        tobj = tobj.at[b_w, a, gj, gi].set(tobj_val.astype(pi.dtype),
-                                           mode='drop')
+        if nhwc:
+            tobj = jnp.zeros((bs, ny, nx, na), jnp.float32)
+            tobj = tobj.at[b_w, gj, gi, a].set(tobj_val, mode='drop')
+        else:
+            tobj = jnp.zeros((bs, na, ny, nx), jnp.float32)
+            tobj = tobj.at[b_w, a, gj, gi].set(tobj_val, mode='drop')
 
-        obj_bce = bce_with_logits(pi[..., 4], tobj, hyp.obj_pw)
+        obj_logit = pi[..., 4].astype(jnp.float32)
+        obj_bce = bce_with_logits(obj_logit, tobj, hyp.obj_pw)
         if hyp.fl_gamma > 0:
-            obj_bce = obj_bce * focal_scale(pi[..., 4], tobj, hyp.fl_gamma)
+            obj_bce = obj_bce * focal_scale(obj_logit, tobj, hyp.fl_gamma)
         lobj = lobj + jnp.mean(obj_bce)
 
         if nc > 1:

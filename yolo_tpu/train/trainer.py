@@ -74,10 +74,17 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
     ``kd_loss_fn(yolo_p, feats, targets, valid, imgs) -> scalar`` lets the
     caller add a distillation term (train.py:389-435).
     """
+    # without KD (whose strategies index the reference (bs,na,ny,nx,no)
+    # layout) the heads flow to the loss in their native NHWC-derived
+    # (bs,ny,nx,na,no) shape — a free reshape instead of a per-scale
+    # permute (hlo_stats: ~6 ms of f32 data formatting at 608px/bs64)
+    head_layout = 'anchor_major' if (kd_loss_fn is not None
+                                     or quant_apply is not None) else 'nhwc'
     if quant_apply is not None:
         apply = quant_apply            # QAT path: signature takes qstate too
     else:
-        apply = make_apply(net, compute_dtype=compute_dtype)
+        apply = make_apply(net, compute_dtype=compute_dtype,
+                           head_layout=head_layout)
         if remat:
             apply = jax.checkpoint(apply, static_argnums=(3,))
 
@@ -89,7 +96,7 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
             (yolo_p, feats), new_bn = apply(params, bn_state, imgs, True)
             new_q = qstate
         loss, items = compute_loss(yolo_p, targets, valid, anchor_vecs, nc,
-                                   hyp, gr)
+                                   hyp, gr, layout=head_layout)
         if kd_loss_fn is not None:
             loss = loss + kd_loss_fn(yolo_p, feats, targets, valid, imgs)
         return loss, (items, new_bn, new_q)
