@@ -80,8 +80,14 @@ def test_scale_freeze():
 def test_global_vs_ema_tracker():
     qs = Q.tracker_init()
     qs = Q._update_range(qs, jnp.array([-1.0, 2.0]), 'global')
+    # GlobalRangeTracker's in-place aliasing bug (quantized_google.py:46-54)
+    # makes every post-first update track min(0, batch_min)/max(0, batch_max)
+    # — the CURRENT batch's range, not an envelope. Mirrored for parity
+    # (verified against torch in test_reference_parity).
     qs = Q._update_range(qs, jnp.array([-3.0, 1.0]), 'global')
-    assert float(qs['min']) == -3.0 and float(qs['max']) == 2.0
+    assert float(qs['min']) == -3.0 and float(qs['max']) == 1.0
+    qs = Q._update_range(qs, jnp.array([-0.5, 0.25]), 'global')
+    assert float(qs['min']) == -0.5 and float(qs['max']) == 0.25
     qe = Q.tracker_init()
     qe = Q._update_range(qe, jnp.array([0.0, 1.0]), 'ema')
     qe = Q._update_range(qe, jnp.array([0.0, 2.0]), 'ema')

@@ -16,6 +16,7 @@ reproduce that contract at toy scale:
 
 import os
 
+import cv2
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,52 @@ from yolo_tpu.eval.evaluator import evaluate
 from yolo_tpu.runtime import load_model, preprocess
 from yolo_tpu.train.loop import TrainOptions, run_training
 
-from tests.test_cli import workspace  # noqa: F401  (toy dataset fixture)
+from tests.test_cli import TOY_CFG
+
+
+@pytest.fixture(scope='module')
+def workspace(tmp_path_factory):
+    """Noisy-background variant of test_cli's toy dataset.
+
+    The flat-background toy is degenerate under 8-bit quantization: every
+    background cell's obj logit is IDENTICAL, so the whole image crosses
+    conf_thres as one block and mAP flips chaotically on sub-percent BN
+    running-stat differences (ranking ties between the FP flood and the
+    targets). Textured backgrounds break the tie and make mAP measure
+    quantization quality instead of tie-ordering.
+
+    Also denser than test_cli's toy: 16 images x 3 boxes, ALL evaluated
+    (48 targets), so mAP granularity is ~2% and a small-delta quality
+    gate is meaningful (2 images / 2 targets quantize recall to 50%)."""
+    root = tmp_path_factory.mktemp('qws')
+    (root / 'images').mkdir()
+    (root / 'labels').mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(16):
+        img = rng.randint(20, 70, (96, 96, 3)).astype(np.uint8)
+        rows = []
+        # 3 boxes on a 3-column grid so they never overlap
+        for j, colc in enumerate((0.18, 0.5, 0.82)):
+            cx = colc + rng.uniform(-0.04, 0.04)
+            cy = rng.uniform(0.2, 0.8)
+            bw, bh = 0.22, 0.22
+            x1, y1 = int((cx - bw / 2) * 96), int((cy - bh / 2) * 96)
+            x2, y2 = int((cx + bw / 2) * 96), int((cy + bh / 2) * 96)
+            cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), -1)
+            rows.append(f'0 {cx} {cy} {bw} {bh}')
+        p = root / 'images' / f'im{i}.jpg'
+        cv2.imwrite(str(p), img)
+        (root / 'labels' / f'im{i}.txt').write_text('\n'.join(rows) + '\n')
+        paths.append(str(p))
+    (root / 'train.txt').write_text('\n'.join(paths[:12]))
+    (root / 'valid.txt').write_text('\n'.join(paths))
+    (root / 'obj.names').write_text('thing\n')
+    (root / 'obj.data').write_text(
+        f'classes=1\ntrain={root}/train.txt\nvalid={root}/valid.txt\n'
+        f'names={root}/obj.names\n')
+    (root / 'toy.cfg').write_text(TOY_CFG)
+    return root
 
 
 @pytest.fixture(scope='module')
@@ -63,7 +109,12 @@ def _qat_finetune_map(workspace, trained_toy, tmp_path, scheme_id):  # noqa: F81
             cfg=str(workspace / 'toy.cfg'), data=str(workspace / 'obj.data'),
             weights=str(d / 'weights' / 'last.npz'),
             quantized=scheme_id, a_bit=8, w_bit=8,
-            epochs=40, batch_size=4, img_size=(64, 64, 64), notest=True,
+            # 160 epochs = 320 steps: the faithful BN-fold EMAs running
+            # stats from the LOADED float checkpoint (never first-batch
+            # overwritten, quantized_google.py:341-346), so the finetune
+            # must run long enough for momentum-0.01 stats to converge to
+            # the QAT-era distribution — as any real-scale QAT run does.
+            epochs=160, batch_size=4, img_size=(64, 64, 64), notest=True,
             n_burn_override=0, ema=False, augment=False,
             accumulate_override=1, hyp_path=str(hyp),
             weights_dir=str(tmp_path / 'weights'),

@@ -27,6 +27,20 @@ from yolo_tpu.models.darknet_io import load_darknet_weights, save_darknet_weight
 from yolo_tpu.models.yolo_head import decode_yolo
 
 
+@pytest.fixture(autouse=True)
+def _exact_f32():
+    """JAX's DEFAULT matmul/conv precision on CPU computes f32 convs through
+    reduced-precision passes (measured ~7e-3 abs error vs an f64 oracle;
+    torch's F.conv2d is ~4e-7). Differential parity — especially the QAT
+    round()-boundary trajectories — needs genuinely-f32 convs, so this
+    module pins HIGHEST precision."""
+    import jax as _jax
+    old = _jax.config.jax_default_matmul_precision
+    _jax.config.update('jax_default_matmul_precision', 'highest')
+    yield
+    _jax.config.update('jax_default_matmul_precision', old)
+
+
 @pytest.fixture(scope='module')
 def ref():
     return load_reference()
@@ -151,6 +165,146 @@ def test_loss_items_parity(ref, tmp_path):
                                hyp=LossHyp.from_dict(hyp), gr=1.0)
     np.testing.assert_allclose(np.asarray(my_items), ref_items.numpy(),
                                rtol=5e-4, atol=5e-4)
+
+
+# (cfg, shortcut_way): tiny exercises the quantized concat, yolov3 the
+# quantized shortcut in both requant ways (models.py:277-305)
+QAT_ZOO = [
+    ('yolov3tiny/yolov3-tiny.cfg', 1),
+    ('yolov3/yolov3.cfg', 1),
+    ('yolov3/yolov3.cfg', 2),
+]
+
+
+@pytest.mark.parametrize('cfg_rel,way', QAT_ZOO,
+                         ids=[f"{c.split('/')[-1]}-way{w}"
+                              for c, w in QAT_ZOO])
+def test_google_qat_forward_parity(ref, cfg_rel, way, tmp_path):
+    """Google-QAT twin networks on shared weights: identical calibration
+    trajectory (range trackers, two-phase BN fold, pow-2 scale snap) and
+    matching eval forwards vs BNFold_QuantizedConv2d_For_FPGA
+    (quantized_google.py:235-836) + the quantized shortcut/concat modules.
+    """
+    import torch
+    size, steps = 160, 100
+    tm = _ref_model(ref, cfg_rel, size, seed=0, conv_scale=0.6)
+    wpath = tmp_path / 'qat.weights'
+    ref.models.save_weights(tm, str(wpath))
+
+    qm = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
+                            img_size=(size, size), quantized=1,
+                            a_bit=8, w_bit=8, steps=steps, shortcut_way=way)
+    ref.models.load_darknet_weights(qm, str(wpath), quant=True)
+
+    rng = np.random.RandomState(7)
+    calib = [rng.rand(2, 3, size, size).astype(np.float32) for _ in range(3)]
+    qm.train()
+    with torch.no_grad():
+        for b in calib:
+            qm(torch.from_numpy(b))
+    qm.eval()
+    with torch.no_grad():
+        io_ref, p_ref, _ = qm(torch.from_numpy(calib[0]))
+
+    from yolo_tpu.compress.quant import (QuantConfig, init_quant_state,
+                                         make_quant_apply)
+    net = build_ir(f'/root/reference/cfg/{cfg_rel}')
+    from yolo_tpu.models.network import init_params
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    params, state, _, _ = load_darknet_weights(net, params, state,
+                                               str(wpath), quant=True)
+    qcfg = QuantConfig(scheme='google', a_bits=8, w_bits=8,
+                       shortcut_way=way, steps=steps)
+    qstate, _ = init_quant_state(net, qcfg)
+    apply = jax.jit(make_quant_apply(net, qcfg), static_argnums=4)
+
+    st, qs = state, qstate
+    for b in calib:
+        _, st, qs = apply(params, st, qs,
+                          jnp.asarray(b.transpose(0, 2, 3, 1)), True)
+    io_mine, p_mine, _ = apply(params, st, qs,
+                               jnp.asarray(calib[0].transpose(0, 2, 3, 1)),
+                               False)
+
+    # The calibrated STATE is the exact contract: every pow-2 scale must
+    # match bit for bit (trackers, two-phase fold, snap logic), and the
+    # running stats must track. Per-element output equality is NOT
+    # achievable across conv backends — one f32 accumulation-order flip at
+    # a round() boundary (odds ~1e-4/element on 9216-term dots) changes a
+    # quantized activation by one quantum and avalanches; measured: layers
+    # 0-11 of tiny are bit-identical at step 1, the rest is that cascade.
+    n_scales, flips = 0, []
+    for lyr in net.layers:
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
+        m = qm.module_list[lyr.index]
+        conv = next(mm for mm in m.modules()
+                    if type(mm).__name__ == 'BNFold_QuantizedConv2d_For_FPGA')
+        k = str(lyr.index)
+        for name, rq, mq in (
+                ('a', conv.activation_quantizer, qs[k]['aq']),
+                ('w', conv.weight_quantizer, qs[k]['wq']),
+                ('b', conv.bias_quantizer, qs[k]['bq'])):
+            n_scales += 1
+            rs, ms = float(rq.scale), float(mq['scale'])
+            if rs == ms:
+                continue
+            # a snap flip is admissible only if it is a boundary artifact:
+            # pow2_snap picks floor/ceil by linear distance, so the decision
+            # point is 1.5*2^k — the flip is FORCED whenever that boundary
+            # separates the two sides' tracked ranges. Ranges must still
+            # agree to 25% (calibration trajectories are chaotic to one
+            # 8-bit rounding flip, but a genuine semantic bug shows up as a
+            # gross range mismatch, not a boundary straddle).
+            rt, mt = rq.range_tracker, mq
+            r_rng = max(abs(float(rt.min_val)), abs(float(rt.max_val)))
+            m_rng = max(abs(float(mt['min'])), abs(float(mt['max'])))
+            lo, hi = min(r_rng, m_rng), max(r_rng, m_rng)
+            rel = (hi - lo) / max(hi, 1e-9)
+            boundary = 1.5 * 2 ** np.floor(np.log2(max(lo, 1e-9)))
+            straddle = lo <= boundary <= hi
+            assert max(rs, ms) == 2 * min(rs, ms) and straddle and rel < 0.25, \
+                f'{name}_scale layer {k}: {rs} vs {ms}, ranges ' \
+                f'{r_rng:.4f}/{m_rng:.4f} ({cfg_rel} way{way})'
+            flips.append((k, name))
+        if lyr.bn:
+            np.testing.assert_allclose(
+                np.asarray(st[k]['mean']), conv.running_mean.numpy(),
+                rtol=5e-2, atol=2e-2, err_msg=f'running_mean {k}')
+            np.testing.assert_allclose(
+                np.asarray(st[k]['var']), conv.running_var.numpy(),
+                rtol=5e-2, atol=2e-2, err_msg=f'running_var {k}')
+    assert len(flips) <= max(1, n_scales // 20), \
+        f'{len(flips)}/{n_scales} scale flips: {flips} ({cfg_rel} way{way})'
+
+    # outputs: identical pow-2 grids, so diffs are integer multiples of the
+    # head quantum — assert the avalanche stays at the few-quanta level
+    head_keys = [str(net.layers[i - 1].index)
+                 for i, l in enumerate(net.layers) if l.kind == 'yolo']
+    for i, (a, b) in enumerate(zip(p_mine, p_ref)):
+        a, b = np.asarray(a), b.numpy()
+        hc = next(mm for mm in qm.module_list[int(head_keys[i])].modules()
+                  if type(mm).__name__ == 'BNFold_QuantizedConv2d_For_FPGA')
+        q = max(float(qs[head_keys[i]]['aq']['scale']),
+                float(hc.activation_quantizer.scale))
+        d = np.abs(a - b)
+        assert d.mean() < 1.5 * q, \
+            f'head {i}: mean diff {d.mean():.4g} vs quantum {q} ' \
+            f'({cfg_rel} way{way})'
+        assert d.max() < 16 * q, \
+            f'head {i}: max diff {d.max():.4g} vs quantum {q} ' \
+            f'({cfg_rel} way{way})'
+    # decoded objectness/class probabilities: detection-equivalent outputs.
+    # Re-decode from the anchor-major heads so the box axis matches the
+    # reference's (na, ny, nx) flattening (decode_yolo_nhwc flattens
+    # (ny, nx, na) — same set, different order).
+    yolo_layers = [l for l in net.layers if l.kind == 'yolo']
+    io_am = jnp.concatenate(
+        [decode_yolo(p, l.anchors, l.yolo_stride)
+         for p, l in zip(p_mine, yolo_layers)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(io_am[..., 4:]).ravel(), io_ref.numpy()[..., 4:].ravel(),
+        atol=0.05, err_msg=f'decoded conf ({cfg_rel} way{way})')
 
 
 def test_prune_keep_size_parity(ref, tmp_path):

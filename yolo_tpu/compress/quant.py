@@ -104,9 +104,17 @@ def _update_range(qs, x, track: str):
                             qs['min'] * (1 - EMA_MOMENTUM) + mn * EMA_MOMENTUM)
         new_max = jnp.where(qs['first'] == 0, mx,
                             qs['max'] * (1 - EMA_MOMENTUM) + mx * EMA_MOMENTUM)
-    else:                  # GlobalRangeTracker min/max (quantized_google.py:35-55)
-        new_min = jnp.where(qs['first'] == 0, mn, jnp.minimum(qs['min'], mn))
-        new_max = jnp.where(qs['first'] == 0, mx, jnp.maximum(qs['max'], mx))
+    else:
+        # GlobalRangeTracker (quantized_google.py:34-54). NOT a min/max
+        # envelope: update_range aliases temp_minval to the live buffer, so
+        # `min_val.add_(-temp).add_(min(temp, new))` zeroes temp first and
+        # the buffer ends up min(0, batch_min) / max(0, batch_max) — i.e.
+        # the CURRENT batch's range clamped through zero. Verified against
+        # torch: the tracked range is non-monotone across steps. Mirrored
+        # exactly (weight scales must match for QAT forward parity).
+        zero = jnp.zeros_like(mn)
+        new_min = jnp.where(qs['first'] == 0, mn, jnp.minimum(zero, mn))
+        new_max = jnp.where(qs['first'] == 0, mx, jnp.maximum(zero, mx))
     return {**qs, 'min': new_min, 'max': new_max,
             'first': jnp.ones_like(qs['first'])}
 
@@ -321,7 +329,13 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
         n = out_f.shape[0] * out_f.shape[1] * out_f.shape[2]
         batch_mean = jnp.mean(out_f, axis=axes)
         bv = jnp.var(out_f, axis=axes) * n / max(n - 1, 1)   # unbiased
-        first = qs['first_bn'] == 0
+        # first-batch copy fires only while the running stats are still the
+        # quantized conv's zero-init (quantized_google.py:341-346: first_bn
+        # == 0 AND running_mean == 0 AND running_var == 0) — stats loaded
+        # from a checkpoint/.weights file are EMA'd from step 1, never
+        # overwritten by the first calibration batch
+        first = ((qs['first_bn'] == 0)
+                 & jnp.all(st['mean'] == 0) & jnp.all(st['var'] == 0))
         new_mean = jnp.where(first, batch_mean,
                              st['mean'] * (1 - BN_MOMENTUM) + batch_mean * BN_MOMENTUM)
         new_var = jnp.where(first, bv,
@@ -331,7 +345,7 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
         var_sel = jnp.where(use_batch, bv, new_var)
         new_st = {'mean': jax.lax.stop_gradient(new_mean),
                   'var': jax.lax.stop_gradient(new_var)}
-        new_qs = {**qs, 'first_bn': jnp.ones_like(qs['first_bn'])}
+        new_qs = {**qs, 'first_bn': jnp.where(first, 1.0, qs['first_bn'])}
     else:
         mean_sel, var_sel = st['mean'], st['var']
         new_st, new_qs = st, qs
@@ -344,7 +358,8 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
 
 
 def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
-                     compute_dtype=None, warmup: bool = False):
+                     compute_dtype=None, warmup: bool = False,
+                     capture_trace: bool = False):
     """Build the quantized apply:
 
     apply(params, state, qstate, x, train=False) ->
@@ -355,6 +370,10 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     quantized conv; shortcut -> requantized add (min/max way) except TPSQ
     which keeps the float shortcut (models.py:273-274); multi-route ->
     requantized concat.
+
+    ``capture_trace`` appends a {layer_key: output} dict to the train-mode
+    return — the per-layer differential-parity hook used by
+    tests/test_reference_parity.py to bisect against the torch reference.
     """
     layers = net.layers
     sch = cfg.scheme
@@ -431,17 +450,20 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 a = a * w[i + 1]
             nx_, na_ = x.shape[-1], a.shape[-1]
             if train:
-                qs['a'] = _update_range(qs['a'], jax.lax.stop_gradient(x), 'ema')
-                qs['x'] = _update_range(qs['x'], jax.lax.stop_gradient(a), 'ema')
-                if nx_ == na_:
-                    s = x + a
-                elif nx_ > na_:
-                    s = x[..., :na_] + a
-                else:
-                    s = x + a[..., :nx_]
-                qs['sum'] = _update_range(qs['sum'], jax.lax.stop_gradient(s),
-                                          'ema')
-                if cfg.shortcut_way == 2:   # max-way: cover x, a and sum
+                qs['x'] = _update_range(qs['x'], jax.lax.stop_gradient(x), 'ema')
+                qs['a'] = _update_range(qs['a'], jax.lax.stop_gradient(a), 'ema')
+                if cfg.shortcut_way == 2:
+                    # max-way tracks the UNQUANTIZED sum up front and uses
+                    # one common scale covering x, a and sum
+                    # (quantized_google.py:893-921)
+                    if nx_ == na_:
+                        s = x + a
+                    elif nx_ > na_:
+                        s = x[..., :na_] + a
+                    else:
+                        s = x + a[..., :nx_]
+                    qs['sum'] = _update_range(qs['sum'],
+                                              jax.lax.stop_gradient(s), 'ema')
                     fmax = jnp.maximum(jnp.maximum(qs['sum']['max'],
                                                    qs['x']['max']),
                                        qs['a']['max'])
@@ -474,6 +496,12 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
             else:
                 s = xq + aq[..., :nx_]
             if train and cfg.shortcut_way == 1:
+                # min-way tracks the QUANTIZED sum, after the requantized
+                # add (quantized_google.py:1157-1184) — tracking the float
+                # sum instead drifts the EMA by up to a quantum and can
+                # flip the pow-2 snap of the chain's working scale
+                qs['sum'] = _update_range(qs['sum'],
+                                          jax.lax.stop_gradient(s), 'ema')
                 fr = pow2_snap(jnp.maximum(jnp.abs(qs['sum']['min']),
                                            jnp.abs(qs['sum']['max'])))
                 qs['scale'] = fr / qr
@@ -505,6 +533,7 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
 
     def apply(params, state, qstate, x, train: bool = False):
         outs: dict[int, Any] = {}
+        trace: dict[str, Any] = {}
         yolo_p = []
         head_out = []
         feats = []
@@ -592,8 +621,12 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 outs[lyr.index] = prev
             if lyr.feature_out:
                 feats.append(prev)
+            if capture_trace:
+                trace[k] = prev
 
         if train:
+            if capture_trace:
+                return (yolo_p, feats), new_state, new_q, trace
             return (yolo_p, feats), new_state, new_q
 
         ios = []

@@ -8,9 +8,10 @@ File format (reference models.py:587-813): 5-int header (3x int32 version,
   depthwise:  same as conv (groups implicit)
   se:         fc1.weight (out,in), fc2.weight (out,in)
 
-``quant=True`` loads BN rows into the folded-conv buffers of a quantized
-model (same byte order — the distinction only matters for which pytree slots
-receive them; reference models.py:610-628).
+``quant=True`` is accepted for API parity with the reference loader
+(models.py:610-628), where it redirects BN rows into the folded quantized
+conv's own buffers. The byte order is identical and our pytree layout is
+the same for float and quantized models, so the flag is a no-op here.
 
 Kernels are transposed OIHW <-> HWIO at the boundary; everything else is a
 straight memcpy, so round-trips are bit-exact.
@@ -69,17 +70,17 @@ def load_darknet_weights(net: NetworkIR, params, state, path,
                 gamma, ptr = _take(weights, ptr, O, (O,))
                 mean, ptr = _take(weights, ptr, O, (O,))
                 var, ptr = _take(weights, ptr, O, (O,))
-                if quant:
-                    # folded-conv buffers of a quantized network
-                    params[k]['beta'] = jnp.asarray(beta)
-                    params[k]['gamma'] = jnp.asarray(gamma)
-                    params[k]['mean'] = jnp.asarray(mean)
-                    params[k]['var'] = jnp.asarray(var)
-                else:
-                    params[k]['beta'] = jnp.asarray(beta)
-                    params[k]['gamma'] = jnp.asarray(gamma)
-                    state[k]['mean'] = jnp.asarray(mean)
-                    state[k]['var'] = jnp.asarray(var)
+                # The reference's quant=True path only redirects WHERE the BN
+                # rows are stored (the folded conv's own buffers instead of a
+                # separate BN module, models.py:608-635) — the file layout is
+                # identical. Our pytrees have one layout for float and
+                # quantized models (gamma/beta in params, running stats in
+                # state, read by make_quant_apply's _bn_fold), so both paths
+                # store identically; ``quant`` is kept for API parity.
+                params[k]['beta'] = jnp.asarray(beta)
+                params[k]['gamma'] = jnp.asarray(gamma)
+                state[k]['mean'] = jnp.asarray(mean)
+                state[k]['var'] = jnp.asarray(var)
                 w, ptr = _take(weights, ptr, O * I * kh * kw, (O, I, kh, kw))
                 params[k]['w'] = jnp.asarray(w.transpose(2, 3, 1, 0))
             else:
