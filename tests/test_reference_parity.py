@@ -80,6 +80,11 @@ ZOO = [
     ('yolov4tiny/yolov4-tiny.cfg', 320, 1.0),
     ('yolov4/yolov4.cfg', 320, 0.6),
     ('yolov3-mobilenet/yolov3-mobilenet-coco.cfg', 320, 1.0),
+    # extended zoo: reorg (v2), ghost modules, SE + hswish (models.py:217-222)
+    ('yolov2/yolov2.cfg', 320, 0.8),
+    ('yolov3-ghostnet/yolov3-ghost-coco.cfg', 320, 0.5),
+    ('yolov3tiny-mobilenet-small/yolov3tiny-mobilenet-small-coco.cfg',
+     320, 1.0),
 ]
 
 

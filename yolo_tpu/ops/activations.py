@@ -61,6 +61,10 @@ _BY_NAME = {
     'mish': mish,
     'logistic': logistic,
     'linear': linear,
+    # 'none' appears in the ghostnet cfgs; the reference's create_modules
+    # only attaches an activation module on an exact name match
+    # (models.py:102-117), so unmatched names are identity
+    'none': linear,
     '': linear,
 }
 
