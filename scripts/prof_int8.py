@@ -33,6 +33,9 @@ def main():
     p.add_argument('--top', type=int, default=30)
     p.add_argument('--pallas-min-hw', type=int, default=0)
     p.add_argument('--pallas-max-hw', type=int, default=10 ** 9)
+    p.add_argument('--bf16-min-hw', type=int, default=76,
+                   help="mixed backend's bf16-region boundary (conv output "
+                        'map >= this stays bf16 weight-only)')
     opt = p.parse_args()
 
     import jax
@@ -92,7 +95,8 @@ def main():
     plan = prepare_int8(net, params, st, qs, cfg)
     eng = make_int8_apply(net, plan, backend=opt.backend,
                           pallas_min_hw=opt.pallas_min_hw,
-                          pallas_max_hw=opt.pallas_max_hw, heads_only=True)
+                          pallas_max_hw=opt.pallas_max_hw, heads_only=True,
+                          bf16_min_hw=opt.bf16_min_hw)
 
     @jax.jit
     def pipeline(arrays, x):

@@ -59,6 +59,37 @@ def test_parity(case):
         np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+FOLD_CASES = [
+    # fold='full' engages only for K>1 with 128-aligned effective Cin
+    (2, 16, 16, 128, 64, 3, 1, 'leaky', True),     # direct 128-ch
+    (2, 16, 16, 32, 64, 3, 2, 'leaky', True),      # via space-to-depth 4*32
+    (1, 19, 19, 256, 255, 3, 1, 'linear', False),  # f32 out, Cout pad
+]
+
+
+@pytest.mark.parametrize('case', FOLD_CASES, ids=lambda c: f'{c[5]}x{c[5]}s'
+                         f'{c[6]}_{c[3]}to{c[4]}_{c[7]}')
+def test_parity_fold_full(case):
+    """The im2col-fold variant (one deep K*K*Cin dot via a VMEM scratch)
+    must match the tap-sum path bit for bit. It is a measured negative
+    result perf-wise (see module docstring) but stays parity-locked."""
+    n, h, w, ci, co, k, s, act, out_q = case
+    rng = np.random.RandomState(1)
+    x8 = jnp.asarray(rng.randint(-128, 128, (n, h, w, ci)), jnp.int8)
+    w8 = jnp.asarray(rng.randint(-40, 41, (k, k, ci, co)), jnp.int8)
+    bias = jnp.asarray(rng.randn(co).astype(np.float32))
+    scale, oscale = np.float32(2 ** -9), np.float32(2 ** -4)
+    got = np.asarray(fused_conv_int8(x8, w8, bias, scale, oscale, stride=s,
+                                     act=act, out_q=out_q, interpret=True,
+                                     fold='full'))
+    want = np.asarray(_ref(x8, w8, bias, scale, oscale, s, act, out_q))
+    assert got.shape == want.shape
+    if out_q:
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_supported_predicate():
     assert supported(3, 1, 1, 1) and supported(3, 2, 1, 1)
     assert supported(1, 1, 0, 1)

@@ -52,6 +52,15 @@ Supported: groups == 1, kernel 1x1 (stride 1) and 3x3 (stride 1 or 2),
 'same' padding (pad = K // 2) — exactly the conv population of the
 yolov3/yolov4 families. Anything else falls back to the lax path in the
 engine.
+
+fold='full' (opt-in, default 'none'): im2col the K*K tap windows into the
+lane (contraction) dim via a VMEM scratch, then ONE deep K*K*Cin dot
+instead of K*K shallow dots. Measured on v5e (2026-08, prof_pallas_ops):
+isolated int8 MXU efficiency does rise with contraction depth (47% at
+256-deep -> 79% at 1024-deep), but the scratch *stores* for the shifted
+windows cost more than the shallow dots save — fold='full' is net slower
+at every yolov3 shape, so it stays a parity-tested negative result, not a
+backend.
 """
 
 from __future__ import annotations
@@ -78,27 +87,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _vmem_est(d: int, w_t: int, tile_co: int, cin: int, w_alloc: int,
-              k: int) -> int:
+              k: int, fold: str = 'none') -> int:
     """Estimate the kernel's VMEM stack for a tile_h of ``d``, in padded
     (lane 128 / sublane 8 f32, 32 int8) tile units: pipelined input slabs
     (x2) plus the in-kernel halo concat, two output buffers, the s32
-    accumulator, and ~two tap-window temporaries."""
+    accumulator, and ~two tap-window temporaries (the im2col concat for the
+    fold variants)."""
     co_p = _round_up(tile_co, 128)
     cin_p = _round_up(cin, 128)
+    n_win = {'full': k * k, 'kx': k}.get(fold, 1)
     slab = (d + k - 1) * _round_up(w_alloc, 32) * cin_p           # int8
     out = d * _round_up(w_t, 32) * co_p                           # int8
     acc = d * _round_up(w_t, 8) * co_p * 4                        # s32
-    win = d * _round_up(w_t, 32) * cin_p                          # int8
+    win = d * _round_up(w_t, 32) * _round_up(n_win * cin, 128)    # int8
     return 3 * slab + 2 * out + acc + 2 * win
 
 
 def _pick_tile_h(h_out: int, w_t: int, tile_co: int, cin: int,
-                 w_alloc: int, k: int) -> int:
+                 w_alloc: int, k: int, fold: str = 'none') -> int:
     """Largest divisor of h_out whose estimated VMEM stack fits the budget."""
     best = 1
     for d in range(1, h_out + 1):
         if (h_out % d == 0
-                and _vmem_est(d, w_t, tile_co, cin, w_alloc, k)
+                and _vmem_est(d, w_t, tile_co, cin, w_alloc, k, fold)
                 <= VMEM_BUDGET_BYTES):
             best = d
     return best
@@ -111,21 +122,43 @@ def supported(k: int, stride: int, pad: int, groups: int) -> bool:
 
 def _kernel(scale_ref, oinv_ref, x_ref, *rest, k: int, tile_h: int,
             w_t: int, cin: int, tile_co: int, n_halo: int, act: str,
-            maxabs: bool, out_q: bool, qmin: int, qmax: int, out_dtype):
+            maxabs: bool, out_q: bool, qmin: int, qmax: int, out_dtype,
+            fold: str = 'none'):
     halo = rest[:n_halo]            # n_halo x (1, 1, w_alloc, cin) row blocks
-    w_ref, b_ref, o_ref = rest[n_halo:n_halo + 3]
+    if fold == 'full' and k > 1:
+        w_ref, b_ref, o_ref, im_ref = rest[n_halo:n_halo + 4]
+    else:
+        w_ref, b_ref, o_ref = rest[n_halo:n_halo + 3]
     if n_halo:
         xv = jnp.concatenate([x_ref[0]] + [h[0] for h in halo], axis=0)
     else:
         xv = x_ref[0]                              # (tile_h+k-1, w_alloc, cin)
-    acc = jnp.zeros((tile_h, w_t, tile_co), jnp.int32)
-    for ky in range(k):
-        rows = xv[ky:ky + tile_h]
-        for kx in range(k):
-            win = rows[:, kx:kx + w_t]
-            acc = acc + jax.lax.dot_general(
-                win, w_ref[ky, kx], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+    if fold == 'full' and k > 1:
+        # im2col the K*K window stack into the lane (contraction) dim via a
+        # VMEM scratch (a direct lane concat of sublane-shifted windows is
+        # unsupported: "offset mismatch on non-concat dimension"), then ONE
+        # deep dot — K*K*Cin contraction instead of K*K shallow 128-ish
+        # dots. Measured on v5e: int8 MXU efficiency tracks contraction
+        # depth (47% at 256, 79% at 1024), so the fold is what unlocks the
+        # 2x int8 rate on KxK convs.
+        for ky in range(k):
+            rows = xv[ky:ky + tile_h]
+            for kx in range(k):
+                j = (ky * k + kx) * cin
+                im_ref[:, :, j:j + cin] = rows[:, kx:kx + w_t]
+        acc = jax.lax.dot_general(
+            im_ref[...], w_ref[...].reshape(k * k * cin, tile_co),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.zeros((tile_h, w_t, tile_co), jnp.int32)
+        for ky in range(k):
+            rows = xv[ky:ky + tile_h]
+            for kx in range(k):
+                win = rows[:, kx:kx + w_t]
+                acc = acc + jax.lax.dot_general(
+                    win, w_ref[ky, kx], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
 
     y = acc.astype(jnp.float32) * scale_ref[0, 0] + b_ref[0]
     y = act_mod.get(act, maxabs)(y)
@@ -162,11 +195,11 @@ def _space_to_depth_conv(x8, w8):
 
 @functools.partial(
     jax.jit, static_argnames=('stride', 'act', 'maxabs', 'out_q', 'bits',
-                              'interpret'))
+                              'interpret', 'fold'))
 def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
                     act: str = 'leaky', maxabs: bool = False,
                     out_q: bool = True, bits: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, fold: str = 'none'):
     """Quantized conv: int8 NHWC x int8 HWIO -> int8 (or f32) NHWC.
 
     y = act(conv_s32(x8, w8) * scale + bias); out_q: requantize to
@@ -206,7 +239,13 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
         x_eff = jnp.pad(x_eff, ((0, 0), (0, 0),
                                 (0, w_alloc - x_eff.shape[2]), (0, 0)))
 
-    tile_h = _pick_tile_h(h_out, w_t, tile_co, cin_eff, w_alloc, k_eff)
+    if fold not in ('none', 'full'):
+        raise ValueError(f'unknown fold mode {fold!r}')
+    if k_eff == 1 or cin_eff % 128:
+        # 1x1 is already one deep dot; misaligned Cin would make the im2col
+        # scratch stores lane-misaligned (unsupported/slow in Mosaic)
+        fold = 'none'
+    tile_h = _pick_tile_h(h_out, w_t, tile_co, cin_eff, w_alloc, k_eff, fold)
     rows = tile_h + k_eff - 1
     n_hb = h_out // tile_h
 
@@ -227,7 +266,7 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
     kern = functools.partial(
         _kernel, k=k_eff, tile_h=tile_h, w_t=w_t, cin=cin_eff,
         tile_co=tile_co, n_halo=n_halo, act=act, maxabs=maxabs, out_q=out_q,
-        qmin=qmin, qmax=qmax, out_dtype=out_dtype)
+        qmin=qmin, qmax=qmax, out_dtype=out_dtype, fold=fold)
 
     scale2 = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     oinv2 = (jnp.float32(1.0)
@@ -273,6 +312,9 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
             lambda i, j: (i // n_hb, i % n_hb, 0, j),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_t, cout_p), out_dtype),
+        scratch_shapes=([pltpu.VMEM((tile_h, w_t, k_eff * k_eff * cin_eff),
+                                    jnp.int8)]
+                        if fold == 'full' and k_eff > 1 else []),
         interpret=interpret,
     )(scale2, oinv2, *x_args, w_eff,
       bias.astype(jnp.float32).reshape(1, -1))
