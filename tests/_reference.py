@@ -101,9 +101,11 @@ def load_reference():
     from utils import prune_utils as ref_prune        # noqa: E402
     from utils import parse_config as ref_parse       # noqa: E402
     from utils.quantized import quantized_google      # noqa: E402
+    from utils.quantized import quantized_dorefa      # noqa: E402
     ns = types.SimpleNamespace(
         models=ref_models, utils=ref_utils, prune_utils=ref_prune,
-        parse_config=ref_parse, quantized_google=quantized_google)
+        parse_config=ref_parse, quantized_google=quantized_google,
+        quantized_dorefa=quantized_dorefa)
     return ns
 
 

@@ -1,6 +1,7 @@
 """Aux subsystem tests: anchors, evolution, legacy quantizers, TTA, plots,
 checkpointing, profiling."""
 
+import io
 import os
 
 import numpy as np
@@ -136,13 +137,95 @@ def test_plot_images(tmp_path):
     assert out.ndim == 3 and os.path.exists(tmp_path / 'm.jpg')
 
 
-def test_downloads_stub(tmp_path):
+class _FakeResponse(io.BytesIO):
+    """File-like HTTP response with headers, usable as a context manager."""
+
+    def __init__(self, payload: bytes, ctype='application/octet-stream'):
+        super().__init__(payload)
+        self.headers = {'Content-Type': ctype}
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeOpener:
+    """Scripted urllib-opener stand-in: url-substring -> response factory."""
+
+    def __init__(self, routes):
+        self.routes = routes
+        self.calls = []
+
+    def open(self, url, timeout=None):
+        self.calls.append(url)
+        for frag, make in self.routes:
+            if frag in url:
+                return make()
+        raise OSError(f'no route for {url}')
+
+
+def test_attempt_download_local_passthrough(tmp_path):
     from yolo_tpu.utils.downloads import attempt_download
     f = tmp_path / 'x.weights'
     f.write_bytes(b'123')
     assert attempt_download(str(f)) == str(f)
-    with pytest.raises(FileNotFoundError):
-        attempt_download(str(tmp_path / 'yolov3.weights'))
+    assert attempt_download('') == ''
+
+
+def test_attempt_download_gdrive_small(tmp_path, capsys):
+    """Known checkpoint names resolve via their Drive ids
+    (models.py:822-830); a direct (non-HTML) first response IS the file."""
+    from yolo_tpu.utils import downloads as D
+    blob = b'w' * 1_100_000
+    op = _FakeOpener([('drive.google.com', lambda: _FakeResponse(blob))])
+    dest = tmp_path / 'yolov3.weights'
+    assert D.attempt_download(str(dest), opener=op) == str(dest)
+    assert dest.read_bytes() == blob
+    assert D.GDRIVE_IDS['yolov3.weights'] in op.calls[0]
+
+
+def test_attempt_download_gdrive_confirm_token(tmp_path):
+    """Large files answer with a virus-scan interstitial carrying a confirm
+    token; the second GET must echo it (google_utils.py:23-27 cookie+awk)."""
+    from yolo_tpu.utils import downloads as D
+    blob = b'W' * 1_200_000
+    html = _FakeResponse(b'<a href="...confirm=AbC123&amp;id=x">',
+                         ctype='text/html')
+    op = _FakeOpener([
+        ('confirm=AbC123', lambda: _FakeResponse(blob)),
+        ('drive.google.com', lambda: html),
+    ])
+    dest = tmp_path / 'yolov3-tiny.weights'
+    assert D.attempt_download(str(dest), opener=op) == str(dest)
+    assert dest.read_bytes() == blob
+    assert any('confirm=AbC123' in u for u in op.calls)
+
+
+def test_attempt_download_pjreddie(tmp_path):
+    """Unknown names fall back to pjreddie.com (models.py:833-836)."""
+    from yolo_tpu.utils import downloads as D
+    blob = b'p' * 1_050_000
+    op = _FakeOpener([('pjreddie.com/media/files/custom.weights',
+                       lambda: _FakeResponse(blob))])
+    dest = tmp_path / 'custom.weights'
+    assert D.attempt_download(str(dest), opener=op) == str(dest)
+    assert dest.read_bytes() == blob
+
+
+def test_attempt_download_rejects_partial(tmp_path):
+    """Undersized (<1 MB) results are removed and raised on with the
+    canonical mirror message (models.py:839-843)."""
+    from yolo_tpu.utils import downloads as D
+    op = _FakeOpener([('drive.google.com', lambda: _FakeResponse(b'tiny'))])
+    dest = tmp_path / 'yolov3.weights'
+    with pytest.raises(FileNotFoundError, match='drive.google.com'):
+        D.attempt_download(str(dest), opener=op)
+    assert not dest.exists()
+    op2 = _FakeOpener([])   # network down: same guidance failure
+    with pytest.raises(FileNotFoundError, match='pjreddie.com'):
+        D.attempt_download(str(tmp_path / 'other.weights'), opener=op2)
 
 
 def test_fpga_reorder_shapes():

@@ -374,3 +374,18 @@ def test_test_cli_study_task(workspace, tmp_path, monkeypatch):
     assert all(r[1] == 0.5 for r in rows)
     assert os.path.exists('study_obj_toy.txt')
     assert np.loadtxt('study_obj_toy.txt').shape == (2, len(rows[0]))
+
+
+def test_train_cli_quantized_dorefa(workspace, tmp_path, monkeypatch):
+    """--quantized 4 (DoReFa, an extension slot: the reference defines the
+    modules but never wires them) trains end-to-end through the CLI."""
+    monkeypatch.chdir(tmp_path)
+    import train as train_cli
+    r = train_cli.main([
+        '--cfg', str(workspace / 'toy.cfg'),
+        '--data', str(workspace / 'obj.data'),
+        '--epochs', '2', '--batch-size', '4', '--img-size', '64', '64', '64',
+        '--quantized', '4',
+    ])
+    assert os.path.exists('weights/last.npz')
+    assert np.isfinite(np.array(r)).all()

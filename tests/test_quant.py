@@ -200,3 +200,53 @@ def test_quantize_input_16bit():
     y = np.asarray(Q.quantize_input_16bit(x))
     np.testing.assert_allclose(y * (1 << 14), np.round(y * (1 << 14)), atol=1e-4)
     np.testing.assert_allclose(y, np.asarray(x), atol=2 ** -14)
+
+
+@pytest.mark.parametrize('scheme,code', [('dorefa', 4), ('wbin', 5),
+                                         ('ternary', 6)])
+def test_legacy_scheme_qat_forward(toy, scheme, code):
+    """The legacy quantizer families run as full QAT schemes: BN-fold conv
+    with DoReFa/binary/ternary weight transforms (reference
+    quantized_dorefa.py / quantized_lowbit.py modules, defined there but
+    never wired into models.py — exposed here as --quantized 4/5/6)."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme=scheme, a_bits=8, w_bits=8, steps=100)
+    qstate, extra = Q.init_quant_state(net, cfg)
+    assert not extra                      # stateless: no trainable scales
+    apply_q = Q.make_quant_apply(net, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3
+    st, qs = state, qstate
+    for _ in range(2):
+        (yolo_p, _), st, qs = apply_q(params, st, qs, x, train=True)
+    assert float(qs['0']['step']) == 2
+    io, yolo_p, _ = apply_q(params, st, qs, x, train=False)
+    assert all(np.isfinite(np.asarray(p)).all() for p in yolo_p)
+    # boxes stay decodable: xywh finite, conf in [0, 1]
+    conf = np.asarray(io[..., 4])
+    assert conf.min() >= 0 and conf.max() <= 1
+
+    def grads():
+        def loss(p):
+            (ps, _), _, _ = apply_q(p, state, qstate, x, train=True)
+            return sum(jnp.sum(jnp.square(o)) for o in ps)
+        return jax.grad(loss)(params)
+
+    g = grads()   # STE: gradients flow through the quantizers
+    gn = sum(float(jnp.abs(v).sum()) for d in g.values() for v in d.values())
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_legacy_scheme_weight_grids(toy):
+    """wbin weights land on {-1, +1}; ternary on {-a, 0, +a}; dorefa on the
+    (2^b - 1)-level tanh grid in [-1, 1]."""
+    from yolo_tpu.compress import quant_legacy as QL
+    net, params, state = toy
+    w = params['0']['w']
+    b = np.unique(np.asarray(QL.binary_weight(w)))
+    assert set(b) <= {-1.0, 1.0}
+    t = np.unique(np.asarray(QL.ternary_weight(w)))
+    assert len(t) <= 3 and 0.0 in t
+    d = np.asarray(QL.dorefa_weight(w, 8))
+    assert d.min() >= -1 and d.max() <= 1
+    lv = np.unique(np.round((d + 1) / 2 * 255, 4))
+    np.testing.assert_allclose(lv, np.round(lv), atol=1e-3)

@@ -387,3 +387,101 @@ def test_prune_keep_size_parity(ref, tmp_path):
             np.testing.assert_allclose(np.asarray(params2[k]['b']),
                                        conv.bias.data.numpy(), rtol=1e-5,
                                        atol=1e-6, err_msg=f'bias {k}')
+
+
+def test_dorefa_qat_forward_parity(ref, tmp_path):
+    """DoReFa QAT scheme vs the reference's BNFold_DorefaConv2d
+    (quantized_dorefa.py:187-426). The reference defines these modules but
+    never wires them into models.py, so the diff is module-chain level: the
+    toy 3-conv stack with shared weights must produce matching BN running
+    stats after calibration and matching eval-mode head outputs (tanh
+    weight grid, 0.1-prescaled activation quantizer, leaky slope 0.125,
+    linear heads skip the activation quantizer)."""
+    import torch
+    from tests.test_trainer import TOY_CFG
+    from yolo_tpu.compress.quant import (QuantConfig, init_quant_state,
+                                         make_quant_apply)
+    from yolo_tpu.models.network import init_params
+
+    p = tmp_path / 'toy.cfg'
+    p.write_text(TOY_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    # zero running stats on both sides so the first-batch copy fires in both
+    state = {k: {'mean': jnp.zeros_like(v['mean']),
+                 'var': jnp.zeros_like(v['var'])} for k, v in state.items()}
+
+    steps = 100
+    QD = ref.quantized_dorefa
+
+    def tmod(lyr, pp):
+        m = QD.BNFold_DorefaConv2d(
+            pp['w'].shape[2], lyr.filters, pp['w'].shape[0],
+            stride=lyr.stride, padding=lyr.pad, bias=('b' in pp),
+            a_bits=8, w_bits=8, bn=int(lyr.bn), activate=lyr.activation,
+            steps=steps)
+        with torch.no_grad():
+            m.weight.copy_(torch.from_numpy(
+                np.asarray(pp['w']).transpose(3, 2, 0, 1)))
+            if 'b' in pp:
+                m.bias.copy_(torch.from_numpy(np.asarray(pp['b'])))
+            if lyr.bn:
+                m.gamma.copy_(torch.from_numpy(np.asarray(pp['gamma'])))
+                m.beta.copy_(torch.from_numpy(np.asarray(pp['beta'])))
+        return m
+
+    convs = [l for l in net.layers if l.kind == 'conv']
+    mods = [tmod(l, params[str(l.index)]) for l in convs]
+
+    rng = np.random.RandomState(11)
+    calib = [rng.rand(2, 3, 64, 64).astype(np.float32) for _ in range(3)]
+
+    for m in mods:
+        m.train()
+    with torch.no_grad():
+        for b in calib:
+            t = torch.from_numpy(b)
+            for m in mods:
+                t = m(t)
+    for m in mods:
+        m.eval()
+    with torch.no_grad():
+        t = torch.from_numpy(calib[0])
+        for m in mods:
+            t = m(t)
+    out_ref = t.numpy()                       # (2, 21, 16, 16)
+
+    qcfg = QuantConfig(scheme='dorefa', a_bits=8, w_bits=8, steps=steps)
+    qstate, extra = init_quant_state(net, qcfg)
+    assert not extra
+    apply = jax.jit(make_quant_apply(net, qcfg), static_argnums=4)
+    st, qs = state, qstate
+    for b in calib:
+        _, st, qs = apply(params, st, qs,
+                          jnp.asarray(b.transpose(0, 2, 3, 1)), True)
+    _, p_mine, _ = apply(params, st, qs,
+                         jnp.asarray(calib[0].transpose(0, 2, 3, 1)), False)
+
+    # BN running stats after the identical 3-batch calibration
+    for lyr, m in zip(convs, mods):
+        if not lyr.bn:
+            continue
+        k = str(lyr.index)
+        np.testing.assert_allclose(np.asarray(st[k]['mean']),
+                                   m.running_mean.numpy(), rtol=1e-4,
+                                   atol=1e-5, err_msg=f'running_mean {k}')
+        np.testing.assert_allclose(np.asarray(st[k]['var']),
+                                   m.running_var.numpy(), rtol=1e-4,
+                                   atol=1e-5, err_msg=f'running_var {k}')
+
+    # eval head outputs: the (bs, 21, ny, nx) head conv reshaped the
+    # reference way (models.py YOLOLayer view+permute)
+    bs, _, ny, nx = out_ref.shape
+    want = out_ref.reshape(bs, 3, 7, ny, nx).transpose(0, 1, 3, 4, 2)
+    got = np.asarray(p_mine[0])
+    # activations sit on the shared (2^8-1) grid after each layer, so any
+    # conv-backend accumulation-order flip moves an element by >= one
+    # quantum; require near-exact agreement
+    d = np.abs(got - want)
+    assert d.max() < 2e-3, f'max {d.max()}'
+    assert d.mean() < 1e-4, f'mean {d.mean()}'

@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument('--s', dest='sparsity', type=float, default=0.001,
                    help='BN-gamma L1 sparsity strength')
     p.add_argument('--quantized', type=int, default=-1,
-                   help='-1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ')
+                   help='-1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ, '
+                        '4 DoReFa, 5 binary-W, 6 ternary-W')
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
     p.add_argument('--shortcut_way', type=int, default=1)

@@ -266,8 +266,14 @@ def cospt_quantize(x, qs, *, bits: int, train: bool):
 # quantized network lowering
 # --------------------------------------------------------------------------
 
+#: Schemes with no tracked quantizer state: BN-fold + a pure weight (and for
+#: dorefa, activation) transform. Shortcuts/concats stay float, like tpsq
+#: (the reference defines no quantized shortcut for these families).
+STATELESS_SCHEMES = ('dorefa', 'wbin', 'ternary')
+
+
 class QuantConfig(NamedTuple):
-    scheme: str = 'google'        # google | tpsq | ptq_cos
+    scheme: str = 'google'        # google | tpsq | ptq_cos | dorefa | wbin | ternary
     a_bits: int = 8
     w_bits: int = 8
     shortcut_way: int = 1          # 1 = min-range, 2 = max-range requant
@@ -301,17 +307,20 @@ def init_quant_state(net: NetworkIR, cfg: QuantConfig):
                 extra_params[k] = {'a_scale': jnp.ones(()),
                                    'w_scale': jnp.ones(()),
                                    'b_scale': jnp.ones(())}
+            elif cfg.scheme in STATELESS_SCHEMES:
+                qstate[k] = {'first_bn': jnp.zeros(()), 'step': jnp.zeros(())}
             else:  # ptq_cos
                 qstate[k] = {'aq': cospt_init(cfg.a_bits),
                              'wq': cospt_init(cfg.w_bits),
                              'bq': cospt_init(cfg.w_bits),
                              'first_bn': jnp.zeros(()),
                              'step': jnp.zeros(())}
-        elif lyr.kind == 'shortcut' and cfg.scheme != 'tpsq':
+        elif lyr.kind == 'shortcut' and cfg.scheme in ('google', 'ptq_cos'):
             qstate[k] = {'x': tracker_init(), 'a': tracker_init(),
                          'sum': tracker_init(),
                          'scale': jnp.ones(()), 'input_scale': jnp.ones(())}
-        elif lyr.kind == 'route' and len(lyr.layers) > 1 and cfg.scheme != 'tpsq':
+        elif (lyr.kind == 'route' and len(lyr.layers) > 1
+              and cfg.scheme in ('google', 'ptq_cos')):
             qstate[k] = {'float_max': jnp.zeros(len(lyr.layers)),
                          'scale': jnp.ones(())}
     return qstate, extra_params
@@ -377,6 +386,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     """
     layers = net.layers
     sch = cfg.scheme
+    # deferred: quant_legacy imports fq/pow2_snap from this module
+    from . import quant_legacy as QL
 
     def qconv(lyr, p, st, qs, x, train):
         has_bias = not lyr.bn
@@ -408,6 +419,17 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
             bs_ = qs['b_scale'] if warmup else p['b_scale']
             qw = tpsq_quantize(w_fold, ws, cfg.w_bits)
             qb = tpsq_quantize(bias, bs_, cfg.w_bits)
+        elif sch == 'dorefa':
+            # BNFold_DorefaConv2d (quantized_dorefa.py:242-426): folded W
+            # and bias both go through the tanh weight quantizer
+            qw = QL.dorefa_weight(w_fold, cfg.w_bits)
+            qb = QL.dorefa_weight(bias, cfg.w_bits)
+        elif sch == 'wbin':
+            qw = QL.binary_weight(w_fold)   # BinaryConv2d sign(w)
+            qb = bias
+        elif sch == 'ternary':
+            qw = QL.ternary_weight(w_fold)  # Ternarize {-a, 0, +a}
+            qb = bias
         else:
             qw, qs['wq'] = cospt_quantize(w_fold, qs['wq'], bits=cfg.w_bits,
                                           train=train)
@@ -416,7 +438,13 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         out = conv_ops.conv2d(x, qw, stride=stride, padding=lyr.pad,
                               groups=lyr.groups, compute_dtype=compute_dtype)
         out = out + qb
-        out = act_mod.get(lyr.activation, cfg.maxabsscaler)(out)
+        if sch == 'dorefa' and lyr.activation == 'leaky' \
+                and not cfg.maxabsscaler:
+            # the dorefa modules use slope 0.125, not the google modules'
+            # 0.1 (quantized_dorefa.py:383 vs quantized_google.py:654)
+            out = act_mod.leaky(out, 0.125)
+        else:
+            out = act_mod.get(lyr.activation, cfg.maxabsscaler)(out)
         # quantize activation
         if sch == 'google':
             out, qs['aq'] = google_quantize(
@@ -427,6 +455,13 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 qs['a_scale'] = _tpsq_search_scale(out, cfg.a_bits)
             out = tpsq_quantize(out, qs['a_scale'] if warmup
                                 else p['a_scale'], cfg.a_bits)
+        elif sch == 'dorefa':
+            # linear-activation convs (the heads) return BEFORE the
+            # activation quantizer in the reference (:393-395)
+            if lyr.activation not in ('linear', 'none'):
+                out = QL.dorefa_activation(out, cfg.a_bits)
+        elif sch in ('wbin', 'ternary'):
+            pass                         # weight-only schemes: float A
         else:
             out, qs['aq'] = cospt_quantize(out, qs['aq'], bits=cfg.a_bits,
                                            train=train)

@@ -27,23 +27,33 @@ def quantize_k(x, k: int):
 
 
 def dorefa_weight(w, bits: int):
-    """DoReFa-Net weight quantization (quantized_dorefa.py:70-128):
-    tanh-normalise to [0, 1], k-bit quantize, map back to [-1, 1]."""
+    """DoReFa-Net weight quantization (quantized_dorefa.py:97-111):
+    tanh-normalise to [0, 1], k-bit quantize, map back to [-1, 1]. 1-bit
+    is rejected, as in the reference (:99-102 asserts); use binary_weight/
+    bwn_weight (the quantized_lowbit.py family) for 1-bit weights."""
     if bits == 32:
         return w
-    if bits == 1:  # BWN-style sign with magnitude preservation
-        e = jnp.mean(jnp.abs(w))
-        return jax.lax.stop_gradient(jnp.sign(w) * e - w) + w
+    if bits == 1:
+        raise ValueError('DoReFa 1-bit weights are unsupported (reference '
+                         'quantized_dorefa.py:99-102 asserts); use the '
+                         "'wbin' scheme instead")
     t = jnp.tanh(w)
     t = t / (2.0 * jnp.max(jnp.abs(t)) + 1e-12) + 0.5
     return 2.0 * quantize_k(t, bits) - 1.0
 
 
 def dorefa_activation(x, bits: int):
-    """DoReFa activation: clip to [0, 1], k-bit quantize."""
+    """DoReFa activation (quantized_dorefa.py:54-67): pre-scale by 0.1 to
+    shrink clipping error, clip to [0, 1], k-bit quantize. The reference
+    never undoes the 0.1 — the quantized activation IS 0.1x the float one;
+    bit-faithful parity keeps that. 1-bit activations are rejected there
+    (:58-60) and here."""
     if bits == 32:
         return x
-    return quantize_k(jnp.clip(x, 0.0, 1.0), bits)
+    if bits == 1:
+        raise ValueError('DoReFa 1-bit activations are unsupported '
+                         '(reference quantized_dorefa.py:58-60 asserts)')
+    return quantize_k(jnp.clip(x * 0.1, 0.0, 1.0), bits)
 
 
 def binary_weight(w):

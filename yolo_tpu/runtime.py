@@ -197,7 +197,10 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
                pt: bool = False) -> ModelBundle:
     """Build + load a detector.
 
-    ``quantized``: -1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ (models.py:34-90).
+    ``quantized``: -1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ (models.py:34-90);
+    extensions beyond the reference surface: 4 DoReFa (its
+    quantized_dorefa.py modules are defined but never wired into models.py),
+    5 binary weights, 6 ternary weights (quantized_lowbit.py).
     ``weights``: .npz checkpoint or darknet .weights (auto-detected).
     """
     net = build_ir(cfg, is_gray_scale=is_gray_scale)
@@ -206,7 +209,8 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
     qcfg = None
     qstate = None
     if quantized != -1:
-        scheme = {1: 'google', 2: 'tpsq', 3: 'ptq_cos'}[quantized]
+        scheme = {1: 'google', 2: 'tpsq', 3: 'ptq_cos', 4: 'dorefa',
+                  5: 'wbin', 6: 'ternary'}[quantized]
         qcfg = QuantConfig(scheme=scheme, a_bits=a_bit, w_bits=w_bit,
                            shortcut_way=shortcut_way,
                            maxabsscaler=maxabsscaler, steps=steps)
