@@ -26,6 +26,8 @@ def main():
     p.add_argument('--trace-dir', default='/tmp/jtrace_train')
     p.add_argument('--top', type=int, default=35)
     p.add_argument('--accum', type=int, default=1)
+    p.add_argument('--remat', default='none', choices=['none', 'blocks',
+                                                       'full'])
     opt = p.parse_args()
 
     import jax
@@ -43,7 +45,9 @@ def main():
                    if l.kind == 'yolo']
     grad_fn, update_fn = make_train_functions(
         net, anchor_vecs, nc=80, hyp=LossHyp(),
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.bfloat16,
+        remat=(False if opt.remat == 'none'
+               else True if opt.remat == 'full' else opt.remat))
     ts = init_train_state(params, state, use_ema=True)
 
     bs = opt.bs

@@ -177,3 +177,82 @@ def test_schedules():
     s, gr, acc = burn_in_scalars(10_000, 1000, 0, lr0=0.01, momentum=0.937,
                                  weight_decay=5e-4, epochs=100, batch_size=16)
     assert gr == 1.0 and acc == 4
+
+
+RESIDUAL_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-1,-2
+
+[convolutional]
+batch_normalize=0
+filters=21
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23
+classes=2
+num=3
+"""
+
+
+def test_remat_blocks_matches_baseline(tmp_path):
+    """remat='blocks' (save only shortcut/route boundaries, recompute conv
+    chains in backward) must be a pure scheduling change: identical loss
+    items and gradients to the default path. The cfg has a shortcut and a
+    multi-route so both checkpoint_name tag sites are exercised."""
+    p = tmp_path / 'res.cfg'
+    p.write_text(RESIDUAL_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    av = [l.anchors / l.yolo_stride for l in net.layers if l.kind == 'yolo']
+    imgs, tgt, valid = _batch(bs=2)
+    x = jnp.asarray(imgs)
+    outs = {}
+    for remat in (False, 'blocks'):
+        g, _ = make_train_functions(net, av, nc=2, hyp=LossHyp(),
+                                    compute_dtype=None, remat=remat)
+        ts = init_train_state(params, state, use_ema=False)
+        ts2, items = g(ts, x, jnp.asarray(tgt), jnp.asarray(valid), 1.0, 1.0)
+        outs[remat] = (np.asarray(items),
+                       jax.tree_util.tree_map(np.asarray, ts2.grad_accum))
+    np.testing.assert_allclose(outs['blocks'][0], outs[False][0], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        outs['blocks'][1], outs[False][1])

@@ -64,6 +64,11 @@ def parse_args(argv=None):
     p.add_argument('--no-mesh', action='store_true',
                    help='force single-device training even when multiple '
                         'devices are visible')
+    p.add_argument('--remat', default='none',
+                   choices=['none', 'blocks', 'full'],
+                   help="backward rematerialization: 'blocks' saves only "
+                        'shortcut/route boundaries and recomputes the conv '
+                        'chains (lower HBM footprint at large batch/size)')
     p.add_argument('--mixedprecision', '-mpt', dest='mpt',
                    action='store_true',
                    help='accepted for CLI compat; compute is always bf16 '
@@ -117,6 +122,7 @@ def main(argv=None):
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
         resume=opt.resume, hyp_override=hyp_override,
         tp=opt.tp, device_mesh=False if opt.no_mesh else None,
+        remat=opt.remat,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
     results = run_training(topt)
     if opt.evolve:

@@ -105,7 +105,8 @@ def init_params(rng, net: ir_mod.NetworkIR):
 def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                maxabsscaler: bool = False, fused: bool = False,
                heads_only: bool = False,
-               head_layout: str = 'anchor_major') -> Callable:
+               head_layout: str = 'anchor_major',
+               remat_tags: bool = False) -> Callable:
     """Build the network apply function.
 
     apply(params, state, x, train=False) ->
@@ -129,8 +130,22 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         (then the NMS falls back to slicing obj from the head rows).
 
     ``fused`` skips BN (params must be pre-folded via fuse_params).
+
+    ``remat_tags`` marks every shortcut / multi-route output with
+    ``checkpoint_name('block_out')`` so a trainer-level
+    ``jax.checkpoint(policy=save_only_these_names('block_out'))`` saves only
+    block boundaries for the backward and recomputes the conv/BN/act chains
+    inside each block. At 608px/bs128 the activation set (~20+ GB) exceeds
+    HBM, so XLA's automatic HLO rematerializer already rewrites the
+    backward; the explicit block policy replaces its greedy choices with
+    aligned boundaries (trainer.py remat='blocks').
     """
     layers = net.layers
+    if remat_tags:
+        from jax.ad_checkpoint import checkpoint_name
+        tag = lambda t: checkpoint_name(t, 'block_out')
+    else:
+        tag = lambda t: t
 
     # head conv index -> (na, no) for yolo layers that consume the
     # immediately preceding conv's output (darknet cfgs always do)
@@ -221,7 +236,8 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
 
             elif lyr.kind == 'route':
                 if len(lyr.layers) > 1:
-                    prev = jnp.concatenate([outs[j] for j in lyr.layers], axis=-1)
+                    prev = tag(jnp.concatenate([outs[j] for j in lyr.layers],
+                                               axis=-1))
                 elif lyr.route_groups:
                     # half-channel split of the incoming tensor
                     # (reference utils/layers.py:36-38, yolov4-tiny)
@@ -247,7 +263,7 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                         x_ = jnp.concatenate([x_[..., :na_] + a, x_[..., na_:]], -1)
                     else:            # slice the feature (layers.py:69-70)
                         x_ = x_ + a[..., :nx_]
-                prev = x_
+                prev = tag(x_)
 
             elif lyr.kind == 'avgpool':
                 # global average pool to 1x1 (SE squeeze); f32 reduction for

@@ -91,6 +91,9 @@ class TrainOptions:
                                          # (host does decode+letterbox only;
                                          # see data/device_aug.py)
     accumulate_override: int | None = None  # None = reference 64/bs rule
+    remat: str = 'none'                  # 'none' | 'blocks' | 'full' train
+                                         # backward rematerialization policy
+                                         # (trainer.py make_train_functions)
 
 
 def run_training(opt: TrainOptions):
@@ -175,6 +178,8 @@ def run_training(opt: TrainOptions):
         compute_dtype=jnp.bfloat16 if opt.quantized == -1 else jnp.float32,
         sparsity_s=opt.sparsity if opt.prune != -1 else 0.0,
         sparse_gamma_layers=sparse_layers, kd_loss_fn=kd_fn,
+        remat=(False if opt.remat in ('none', '') else
+               True if opt.remat == 'full' else opt.remat),
         quant_apply=quant_apply)
 
     ts = init_train_state(bundle.params, bundle.state,

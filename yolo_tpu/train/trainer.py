@@ -60,7 +60,7 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
                          sparsity_s: float = 0.0,
                          sparse_gamma_layers: tuple[int, ...] = (),
                          kd_loss_fn: Callable | None = None,
-                         remat: bool = False,
+                         remat: bool | str = False,
                          quant_apply: Callable | None = None):
     """Build (grad_fn, update_fn) jittables.
 
@@ -83,9 +83,19 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
     if quant_apply is not None:
         apply = quant_apply            # QAT path: signature takes qstate too
     else:
+        # remat: False/'none' -> XLA's automatic rematerializer (kicks in
+        # when the activation set exceeds HBM); 'blocks' -> save only
+        # shortcut/route boundaries, recompute the conv/BN/act chains inside
+        # each block; True/'full' -> save nothing, recompute everything.
         apply = make_apply(net, compute_dtype=compute_dtype,
-                           head_layout=head_layout)
-        if remat:
+                           head_layout=head_layout,
+                           remat_tags=(remat == 'blocks'))
+        if remat == 'blocks':
+            apply = jax.checkpoint(
+                apply, static_argnums=(3,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    'block_out'))
+        elif remat:
             apply = jax.checkpoint(apply, static_argnums=(3,))
 
     def loss_fn(params, bn_state, qstate, imgs, targets, valid, gr):
