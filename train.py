@@ -86,6 +86,10 @@ def parse_args(argv=None):
     p.add_argument('--name', type=str, default='')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--max-targets', '--max_targets', dest='max_targets',
+                   type=int, default=0,
+                   help='per-batch target capacity (padded fixed shape); '
+                        '0 = 30*batch_size')
     p.add_argument('--device-aug', action='store_true',
                    help='run mosaic/affine/HSV/flip on the TPU '
                         '(host decodes + letterboxes only)')
@@ -121,6 +125,7 @@ def main(argv=None):
         t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
         resume=opt.resume, hyp_override=hyp_override,
+        max_targets=opt.max_targets,
         tp=opt.tp, device_mesh=False if opt.no_mesh else None,
         remat=opt.remat,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
