@@ -192,3 +192,115 @@ def test_engine_mobilenetv3_se_fallback(repo_root):
     sim, eng = np.asarray(io_sim), np.asarray(io_eng)
     assert np.isfinite(eng).all()
     _assert_close(eng, sim)
+
+
+# --- TPSQ export (scales live in params, asymmetric quant/dequant grid) ---
+
+TPSQ_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+weights_type=per_feature
+
+[convolutional]
+batch_normalize=0
+filters=21
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23
+classes=2
+num=3
+"""
+
+
+def _tpsq_calibrated(net, params, state):
+    """Warmed-up TPSQ bundle: scale params initialised by the cos-search
+    warmup (compress/quant.py tpsq_warmup) on a calibration batch."""
+    cfg = Q.QuantConfig(scheme='tpsq', a_bits=8, w_bits=8, steps=100)
+    qstate, extra = Q.init_quant_state(net, cfg)
+    pt = {k: dict(v) for k, v in params.items()}
+    for k, v in extra.items():
+        pt.setdefault(k, {}).update(v)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3 + 0.4
+    pt = Q.tpsq_warmup(net, cfg, pt, state, qstate, x)
+    return cfg, qstate, pt, x
+
+
+def test_engine_matches_sim_tpsq(tmp_path):
+    """TPSQ export to the true-int8 engine (closes the round-1 scope
+    guard): trainable pow-2 scales read from params, tpsq_quantize's
+    asymmetric grid (quant step p2/127 saturating at +-127, dequant
+    p2/128) reproduced by the s32 epilogue; shortcuts — plain and
+    weighted, with channel slicing — stay float like the sim
+    (reference models.py:273-274, quantized_TPSQ.py:78-118)."""
+    p = tmp_path / 'tpsq.cfg'
+    p.write_text(TPSQ_CFG)
+    net = build_ir(str(p))
+    assert any(l.kind == 'shortcut' and l.weighted for l in net.layers)
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, qstate, pt, x = _tpsq_calibrated(net, params, state)
+    apply_q = Q.make_quant_apply(net, cfg)
+    io_sim, _, _ = apply_q(pt, state, qstate, x, train=False)
+    plan = prepare_int8(net, pt, state, qstate, cfg)
+    assert plan.scheme == 'tpsq'
+    # every conv exports true-int8 weights + dequant scales
+    n_conv = sum(l.kind in ('conv', 'depthwise') for l in net.layers)
+    assert sum('w8' in v for v in plan.arrays.values()) == n_conv
+    io_eng, _ = jax.jit(make_int8_apply(net, plan))(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)
+
+
+def test_engine_tpsq_mixed_backend(tmp_path):
+    """The mixed (bf16-region) backend honours tpsq's asymmetric requant
+    at the s8 transition."""
+    p = tmp_path / 'tpsq.cfg'
+    p.write_text(TPSQ_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, qstate, pt, x = _tpsq_calibrated(net, params, state)
+    plan = prepare_int8(net, pt, state, qstate, cfg)
+    io_xla, _ = jax.jit(make_int8_apply(net, plan, backend='xla'))(
+        plan.arrays, x)
+    io_mix, _ = jax.jit(make_int8_apply(net, plan, backend='mixed',
+                                        bf16_min_hw=8))(plan.arrays, x)
+    _assert_close(np.asarray(io_mix), np.asarray(io_xla))

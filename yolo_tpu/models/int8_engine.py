@@ -60,12 +60,23 @@ class Int8Plan(NamedTuple):
     a_bits: int
     shortcut_way: int
     maxabsscaler: bool
+    scheme: str = 'google'  # google | ptq_cos share tracker semantics; tpsq
+                            # carries the asymmetric quant/dequant grid
 
 
 def _q_arr(x, scale, bits):
     qmin, qmax = qrange(bits, True)
     return np.clip(np.sign(x) * np.floor(np.abs(x) / scale + 0.5),
                    qmin, qmax).astype(np.int8 if bits <= 8 else np.int32)
+
+
+def _tpsq_p2(v) -> float:
+    """Concrete value of search_pow2 (compress/quant.py): clip to
+    [2^-5, 2^13], snap to the nearest power of two by linear distance
+    (quantized_TPSQ.py:29-64)."""
+    v = float(np.clip(np.asarray(v, np.float64), 2.0 ** -5, 2.0 ** 13))
+    lo, hi = 2.0 ** np.floor(np.log2(v)), 2.0 ** np.ceil(np.log2(v))
+    return hi if abs(hi - v) < abs(lo - v) else lo
 
 
 def prepare_int8(net: NetworkIR, params, state, qstate,
@@ -76,14 +87,19 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
     w * gamma/sqrt(var+eps), bias = beta - mean*inv (+ b*inv), both
     fake-quantized with their tracker scales (here: true integer weights plus
     a dequantized f32 bias vector, which is what the fused epilogue adds).
+
+    TPSQ (scheme='tpsq'): scales are trainable params, not tracker state —
+    each site's pow-2 range p2 = search_pow2(params[k][{'w','b','a'}_scale]).
+    tpsq_quantize is asymmetric (quantized_TPSQ.py:78-118): quant step
+    p2/(2^{b-1}-1) with saturation at ±(2^{b-1}-1), dequant grid p2/2^{b-1}.
+    The plan stores the *dequant* scale (what the s32 epilogue multiplies
+    by); make_int8_apply re-derives the quant step from plan.scheme.
+    Shortcuts/concats stay float, exactly like the fake-quant sim
+    (reference models.py:273-274 keeps the plain Shortcut for TPSQ).
     """
-    if cfg.scheme == 'tpsq':
-        raise NotImplementedError(
-            'prepare_int8 reads tracker scales from qstate; TPSQ stores its '
-            'scales as trainable params — export via the google/ptq_cos '
-            'schemes instead')
     arrays: dict[str, dict] = {}
     meta: dict[str, dict] = {}
+    tpsq = cfg.scheme == 'tpsq'
     for lyr in net.layers:
         k = str(lyr.index)
         if lyr.kind in ('conv', 'depthwise'):
@@ -98,22 +114,37 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
             else:
                 w_fold = p['w']
                 bias = p.get('b', np.zeros(lyr.filters))
-            qs = qstate[k]
-            sw = float(np.asarray(qs['wq']['scale']))
-            sb = float(np.asarray(qs['bq']['scale']))
-            sa = float(np.asarray(qs['aq']['scale']))
-            w8 = _q_arr(w_fold, sw, cfg.w_bits)
-            bias_dq = _q_arr(bias, sb, cfg.w_bits).astype(np.float32) * sb
+            if tpsq:
+                qr_q = (1 << (cfg.w_bits - 1)) - 1
+                qr_dq = 1 << (cfg.w_bits - 1)
+                p2w = _tpsq_p2(params[k]['w_scale'])
+                p2b = _tpsq_p2(params[k]['b_scale'])
+                p2a = _tpsq_p2(params[k]['a_scale'])
+                # clamp-to-±p2 then scale by qr_q/p2 == scale then saturate
+                w8 = _q_arr(w_fold, p2w / qr_q, cfg.w_bits)
+                w8 = np.clip(w8, -qr_q, qr_q)
+                b8 = np.clip(_q_arr(bias, p2b / qr_q, cfg.w_bits),
+                             -qr_q, qr_q)
+                bias_dq = b8.astype(np.float32) * np.float32(p2b / qr_dq)
+                sw, sa = p2w / qr_dq, p2a / qr_dq
+            else:
+                qs = qstate[k]
+                sw = float(np.asarray(qs['wq']['scale']))
+                sb = float(np.asarray(qs['bq']['scale']))
+                sa = float(np.asarray(qs['aq']['scale']))
+                w8 = _q_arr(w_fold, sw, cfg.w_bits)
+                bias_dq = _q_arr(bias, sb, cfg.w_bits).astype(np.float32) * sb
             arrays[k] = {'w8': jnp.asarray(w8),
                          'bias': jnp.asarray(bias_dq, jnp.float32)}
             meta[k] = {'sw': sw, 'sa': sa}
-        elif lyr.kind == 'shortcut' and k in qstate:
-            meta[k] = {
-                'in_scale': float(np.asarray(
-                    qstate[k]['input_scale' if cfg.shortcut_way == 1
-                              else 'scale'])),
-                'sc': float(np.asarray(qstate[k]['scale'])),
-            }
+        elif lyr.kind == 'shortcut':
+            if k in qstate and not tpsq:
+                meta[k] = {
+                    'in_scale': float(np.asarray(
+                        qstate[k]['input_scale' if cfg.shortcut_way == 1
+                                  else 'scale'])),
+                    'sc': float(np.asarray(qstate[k]['scale'])),
+                }
             if lyr.weighted and k in params:
                 arrays[k] = {'w': jnp.asarray(params[k]['w'])}
         elif lyr.kind == 'route' and len(lyr.layers) > 1 and k in qstate:
@@ -132,7 +163,7 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
                 'var': jnp.asarray(st['var'], jnp.float32)}
     return Int8Plan(arrays=arrays, meta=meta, a_bits=cfg.a_bits,
                     shortcut_way=cfg.shortcut_way,
-                    maxabsscaler=cfg.maxabsscaler)
+                    maxabsscaler=cfg.maxabsscaler, scheme=cfg.scheme)
 
 
 # carried edge: ('q', int8_array, concrete_scale) | ('f', float_array)
@@ -142,17 +173,6 @@ def _as_float(t):
         a = t[1]
         return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
     return t[1].astype(jnp.float32) * t[2]
-
-
-def _requant(t, scale, bits):
-    """Re-quantize a carried edge to ``scale`` (saturating). Multiplies by
-    the inverse — exact for the pow-2 scale family, and an f32 division
-    would throttle the fused epilogue."""
-    qmin, qmax = qrange(bits, True)
-    if t[0] == 'q' and t[2] == scale:
-        return t
-    y = round_half_away(_as_float(t) * (1.0 / scale))
-    return ('q', jnp.clip(y, qmin, qmax).astype(jnp.int8), scale)
 
 
 def _on_tpu() -> bool:
@@ -211,6 +231,23 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         backend = 'mixed' if _on_tpu() else 'xla'
     use_pallas = backend == 'pallas'
     use_mixed = backend == 'mixed'
+    tpsq = plan.scheme == 'tpsq'
+    # tpsq_quantize is asymmetric: quant step p2/qmax saturating at ±qmax,
+    # dequant grid p2/(qmax+1). Edges carry the DEQUANT scale s, so the
+    # requant multiplier is rq_fac/s with rq_fac = qmax/(qmax+1); the
+    # tracker schemes quantize and dequantize with the same scale.
+    rq_fac = (qmax / (qmax + 1.0)) if tpsq else 1.0
+    rq_min = -qmax if tpsq else qmin
+
+    def requant_edge(t, scale):
+        """Requantize a carried edge to dequant-scale ``scale`` (saturating),
+        honoring the plan's quant grid. Multiplies by the inverse — exact
+        for the pow-2 scale family, and an f32 division would throttle the
+        fused epilogue."""
+        if t[0] == 'q' and t[2] == scale:
+            return t
+        y = round_half_away(_as_float(t) * (rq_fac / scale))
+        return ('q', jnp.clip(y, rq_min, qmax).astype(jnp.int8), scale)
 
     def conv_i8(lyr, arr, t):
         stride = lyr.stride_xy or lyr.stride
@@ -258,10 +295,14 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         if use_mixed and t[0] == 'f' and len(t) == 3:
             # bf16->s8 region transition: values sit on the t[2] grid, so
             # this requant is exact
-            t = _requant(t, t[2], bits)
+            t = requant_edge(t, t[2])
         if t[0] == 'q':
             s_int = stride if isinstance(stride, int) else stride[0]
-            if (use_pallas and not isinstance(stride, (tuple, list))
+            # the Pallas epilogue bakes the symmetric tracker grid
+            # (round(y/sa), clip to [qmin,qmax]) — tpsq's asymmetric grid
+            # runs on the lax path
+            if (use_pallas and not tpsq
+                    and not isinstance(stride, (tuple, list))
                     and pallas_min_hw <= min(t[1].shape[1], t[1].shape[2])
                     <= pallas_max_hw
                     and pallas_conv.supported(lyr.size, s_int, lyr.pad,
@@ -291,16 +332,33 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         y = act_mod.get(lyr.activation, plan.maxabsscaler)(y)
         # multiply by the exact pow-2 inverse — XLA cannot strength-reduce
         # a true f32 division and it throttles the fused epilogue
-        q = jnp.clip(round_half_away(y * (1.0 / m['sa'])), qmin, qmax)
+        q = jnp.clip(round_half_away(y * (rq_fac / m['sa'])), rq_min, qmax)
         return ('q', q.astype(jnp.int8), m['sa'])
 
-    def shortcut_i8(lyr, t, outs):
+    def shortcut_i8(lyr, arr, t, outs):
         prefer_float = use_mixed and t[0] == 'f'
         k = str(lyr.index)
-        if k not in meta:           # unquantized shortcut (tpsq) — float
+        if k not in meta:
+            # unquantized shortcut (tpsq keeps the plain float Shortcut,
+            # reference models.py:273-274): weighted BiFPN-style sum +
+            # channel-slicing rules identical to the float lowering
+            # (utils/layers.py:43-72)
             x = _as_float(t)
-            for j in lyr.layers:
-                x = x + _as_float(outs[j])
+            ws = None
+            if lyr.weighted and arr is not None:
+                ws = jax.nn.sigmoid(arr['w']) * (2.0 / (len(lyr.layers) + 1))
+                x = x * ws[0]
+            for i, j in enumerate(lyr.layers):
+                a = _as_float(outs[j])
+                if ws is not None:
+                    a = a * ws[i + 1]
+                nx_, na_ = x.shape[-1], a.shape[-1]
+                if nx_ == na_:
+                    x = x + a
+                elif nx_ > na_:
+                    x = jnp.concatenate([x[..., :na_] + a, x[..., na_:]], -1)
+                else:
+                    x = x + a[..., :nx_]
             return ('f', x)
         if prefer_float:
             # mixed bf16 region: plain float residual (weight-only
@@ -401,7 +459,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                         prev = ('f', jnp.concatenate(fp, -1), meta[k]['rs'])
                     elif k in meta:  # requantized concat at the common scale
                         rs = meta[k]['rs']
-                        parts = [_requant(t, rs, bits)[1] for t in parts]
+                        parts = [requant_edge(t, rs)[1] for t in parts]
                         prev = ('q', jnp.concatenate(parts, -1), rs)
                     else:
                         prev = ('f', jnp.concatenate(
@@ -412,7 +470,7 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 else:
                     prev = outs[lyr.layers[0]]
             elif lyr.kind == 'shortcut':
-                prev = shortcut_i8(lyr, prev, outs)
+                prev = shortcut_i8(lyr, arrays.get(k), prev, outs)
             elif lyr.kind == 'se':
                 # float fallback edge, like the fake-quant sim (the SE gate
                 # is a global pool + 2 tiny FCs — negligible vs the convs)
