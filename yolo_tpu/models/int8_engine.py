@@ -115,8 +115,13 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
                 w_fold = p['w']
                 bias = p.get('b', np.zeros(lyr.filters))
             if tpsq:
+                # weight/bias grid from w_bits, activation grid from a_bits
+                # — make_int8_apply's rq_fac is a_bits-derived, so sa must
+                # use the a_bits dequant divisor or mixed-precision (a!=w)
+                # exports silently mis-scale activations
                 qr_q = (1 << (cfg.w_bits - 1)) - 1
                 qr_dq = 1 << (cfg.w_bits - 1)
+                qa_dq = 1 << (cfg.a_bits - 1)
                 p2w = _tpsq_p2(params[k]['w_scale'])
                 p2b = _tpsq_p2(params[k]['b_scale'])
                 p2a = _tpsq_p2(params[k]['a_scale'])
@@ -126,7 +131,7 @@ def prepare_int8(net: NetworkIR, params, state, qstate,
                 b8 = np.clip(_q_arr(bias, p2b / qr_q, cfg.w_bits),
                              -qr_q, qr_q)
                 bias_dq = b8.astype(np.float32) * np.float32(p2b / qr_dq)
-                sw, sa = p2w / qr_dq, p2a / qr_dq
+                sw, sa = p2w / qr_dq, p2a / qa_dq
             else:
                 qs = qstate[k]
                 sw = float(np.asarray(qs['wq']['scale']))
@@ -360,15 +365,24 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 else:
                     x = x + a[..., :nx_]
             return ('f', x)
+        # BiFPN-style fusion weights apply in every branch, before any
+        # fake-quant — mirroring the sim's qshortcut (quant.py:477-485)
+        ws = None
+        if lyr.weighted and arr is not None and 'w' in arr:
+            ws = jax.nn.sigmoid(arr['w']) * (2.0 / (len(lyr.layers) + 1))
         if prefer_float:
             # mixed bf16 region: plain float residual (weight-only
             # quantization — see conv_i8); the calibrated sum scale rides
             # along for the eventual s8 transition
             x = t[1]
-            for j in lyr.layers:
+            if ws is not None:
+                x = x * ws[0].astype(x.dtype)
+            for i, j in enumerate(lyr.layers):
                 e = outs[j]
                 a = (e[1] if e[0] == 'f' else
                      e[1].astype(x.dtype) * jnp.asarray(e[2], x.dtype))
+                if ws is not None:
+                    a = a * ws[i + 1].astype(a.dtype)
                 nx_, na_ = x.shape[-1], a.shape[-1]
                 if nx_ == na_:
                     x = x + a
@@ -392,8 +406,12 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
             return e[1].astype(dt) * dt(e[2])
 
         x = asdt(t)
-        for j in lyr.layers:
+        if ws is not None:
+            x = x * ws[0].astype(dt)
+        for i, j in enumerate(lyr.layers):
             a = asdt(outs[j])
+            if ws is not None:
+                a = a * ws[i + 1].astype(dt)
             if plan.shortcut_way == 2:      # max-way: saturating fq
                 xq = jnp.clip(round_half_away(x * inv_in),
                               qmin, qmax) * in_s
@@ -416,7 +434,9 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
         return ('q', q.astype(jnp.int8), m['sc'])
 
     # static per-yolo head dequant scales for the sparse NMS (None where
-    # the head conv edge is float, e.g. tpsq): darknet cfgs place each yolo
+    # the head conv has no exported activation scale — e.g. a scheme whose
+    # head conv stays a float edge; tracker schemes and tpsq both export
+    # meta['sa'], so their heads stay int8): darknet cfgs place each yolo
     # right after its head conv, so prev at the yolo layer is that conv's
     # output with scale meta['sa']
     head_scales = []

@@ -322,7 +322,11 @@ def scale_img(x, ratio: float, same_shape: bool = False, gs: int = 64):
         return x
     b, h, w, c = x.shape
     nh, nw = int(h * ratio), int(w * ratio)
-    y = jax.image.resize(x, (b, nh, nw, c), method='bilinear')
+    # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+    # applies no antialiasing prefilter on downscale — required for TTA
+    # output parity with the reference (torch_utils.py:134)
+    y = jax.image.resize(x, (b, nh, nw, c), method='bilinear',
+                         antialias=False)
     if not same_shape:
         h, w = (math.ceil(h * ratio / gs) * gs, math.ceil(w * ratio / gs) * gs)
     pad_h, pad_w = max(h - nh, 0), max(w - nw, 0)

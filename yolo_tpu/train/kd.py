@@ -154,10 +154,18 @@ def kd4(output_s, output_t, feature_s, feature_t, targets, valid,
     return lcls * Lambda_cls + lbox * Lambda_box + lfeat * Lambda_feature
 
 
-def _foreground_mask(h, w, lts, strides, img_size):
+def _foreground_mask(h, w, lts, strides, img_size, mode: str = 'rect'):
     """Foreground mask (h, w) batch-wise from all assigned target cells,
     expanded to the feature resolution (fine_grained_imitation_feature_mask,
-    utils/utils.py:579-606; rectangle variant — see module docstring)."""
+    utils/utils.py:579-606).
+
+    mode='rect' (default): mark the full e x e cell rectangle each target
+    cell expands to — the geometrically-correct footprint.
+    mode='diag': reference-compat. The reference appends the expansion's
+    gj and gi ranges independently into parallel index arrays
+    (utils/utils.py:590-596), so only the top-left corner plus the DIAGONAL
+    (base+k, base+k) cells of the rectangle get marked. Kept bit-compatible
+    for differential parity / exact-match fine-tuning (VERDICT r2 #7)."""
     scale = img_size / h
 
     def build(bs):
@@ -173,20 +181,25 @@ def _foreground_mask(h, w, lts, strides, img_size):
             base_j = (gj * stride / scale).astype(jnp.int32)
             base_i = (gi * stride / scale).astype(jnp.int32)
             b_w = jnp.where(mask, b, bs)   # drop invalid writes
-            for dj in range(e):
-                for di in range(e):
-                    m = m.at[b_w, jnp.clip(base_j + dj, 0, h - 1),
-                             jnp.clip(base_i + di, 0, w - 1)].set(
-                        1.0, mode='drop')
+            if mode == 'diag':
+                offsets = [(k, k) for k in range(e)]
+            else:
+                offsets = [(dj, di) for dj in range(e) for di in range(e)]
+            for dj, di in offsets:
+                m = m.at[b_w, jnp.clip(base_j + dj, 0, h - 1),
+                         jnp.clip(base_i + di, 0, w - 1)].set(
+                    1.0, mode='drop')
         return m
     return build
 
 
 def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
         anchor_vecs, nc: int, batch_size: int, img_size: int,
-        strides: Sequence[int], iou_t: float = 0.2):
+        strides: Sequence[int], iou_t: float = 0.2, mask_mode: str = 'rect'):
     """KD4 with fine-grained foreground masking of the feature saliency maps
-    (compute_lost_KD5, utils/utils.py:609-654)."""
+    (compute_lost_KD5, utils/utils.py:609-654). mask_mode: 'rect' (fixed
+    full-rectangle footprint) or 'diag' (bit-compatible with the reference's
+    diagonal-only expansion — see _foreground_mask)."""
     Lambda_cls, Lambda_box, Lambda_feature = 0.001, 0.001, 0.001
     lcls = jnp.zeros(())
     lbox = jnp.zeros(())
@@ -202,7 +215,7 @@ def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
     lfeat = jnp.zeros(())
     for fs, ft_ in zip(feature_s, feature_t):
         bs, h, w, _ = fs.shape
-        fg = _foreground_mask(h, w, lts, strides, img_size)(bs)
+        fg = _foreground_mask(h, w, lts, strides, img_size, mask_mode)(bs)
         sal_s = (jnp.sum(jnp.abs(fs), -1) * fg).reshape(bs, -1)
         sal_t = (jnp.sum(jnp.abs(ft_), -1) * fg).reshape(bs, -1)
         lfeat = lfeat + _soft_kl(sal_s, sal_t) / batch_size
@@ -266,7 +279,8 @@ def failure_case_loss_fm(masks, imgs, targets, valid):
 
 def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
                     anchor_vecs, img_size: int = 416,
-                    strides: Sequence[int] = (32, 16, 8)):
+                    strides: Sequence[int] = (32, 16, 8),
+                    kd5_mask: str = 'rect'):
     """Build the kd_loss_fn hook for make_train_functions (train.py:389-435).
 
     The teacher forward runs inside the jitted student step (eval-mode,
@@ -288,7 +302,8 @@ def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
                        anchor_vecs, nc, bs)
         if strategy == 5:
             return kd5(yolo_p, t_yolo, feats, t_feats, targets, valid,
-                       anchor_vecs, nc, bs, img_size, strides)
+                       anchor_vecs, nc, bs, img_size, strides,
+                       mask_mode=kd5_mask)
         if strategy == 6:
             return kd6(yolo_p, t_yolo, targets, valid, anchor_vecs, nc, bs)
         raise ValueError(f'unknown KD strategy {strategy}')
