@@ -1,6 +1,10 @@
 #!/usr/bin/env python
-"""Weight format conversion: .npz checkpoint <-> darknet .weights
-(reference convert.py / models.py:785-813)."""
+"""Weight format conversion: .npz checkpoint <-> darknet .weights <-> torch
+.pt (reference convert.py / models.py:785-813 / train.py:160-180).
+
+A reference user's torch checkpoints import directly: the state_dict keys
+are deterministic from the cfg walk (yolo_tpu/models/torch_import.py), so
+`--weights last.pt` converts without touching the reference's own tools."""
 
 import argparse
 import os
@@ -38,17 +42,38 @@ def main(argv=None):
     net = build_ir(opt.cfg)
     params, state = init_params(jax.random.PRNGKey(0), net)
 
+    def write(params, state, meta=None):
+        meta = meta or {}
+        if target.endswith('.npz'):
+            save_checkpoint(target, params=params, state=state,
+                            epoch=meta.get('epoch', -1))
+        elif target.endswith('.weights'):
+            save_darknet_weights(net, params, state, target)
+        elif target.endswith(('.pt', '.pth')):
+            from yolo_tpu.models.torch_import import save_torch_checkpoint
+            save_torch_checkpoint(net, params, state, target,
+                                  epoch=meta.get('epoch', -1),
+                                  best_fitness=meta.get('best_fitness', 0.0))
+        else:
+            raise SystemExit(f'Error: unsupported target extension {target}')
+        print(f"Success: converted '{opt.weights}' to '{target}'")
+
     if opt.weights.endswith('.npz'):
         ck = load_checkpoint(opt.weights)
         target = opt.output or opt.weights.rsplit('.', 1)[0] + '.weights'
-        save_darknet_weights(net, ck['params'], ck['state'], target)
-        print(f"Success: converted '{opt.weights}' to '{target}'")
+        write(ck['params'], ck['state'],
+              {'epoch': int(ck.get('epoch', -1))})
     elif opt.weights.endswith('.weights'):
         params, state, version, seen = load_darknet_weights(
             net, params, state, opt.weights)
         target = opt.output or opt.weights.rsplit('.', 1)[0] + '.npz'
-        save_checkpoint(target, params=params, state=state, epoch=-1)
-        print(f"Success: converted '{opt.weights}' to '{target}'")
+        write(params, state)
+    elif opt.weights.endswith(('.pt', '.pth')):
+        from yolo_tpu.models.torch_import import load_torch_checkpoint
+        params, state, _, meta = load_torch_checkpoint(net, params, state,
+                                                       opt.weights)
+        target = opt.output or opt.weights.rsplit('.', 1)[0] + '.npz'
+        write(params, state, meta)
     else:
         print('Error: extension not supported.')
 

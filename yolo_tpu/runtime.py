@@ -223,6 +223,11 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
             ck = load_checkpoint(weights)
             params = _merge_compatible(params, ck['params'])
             state = _merge_compatible(state, ck['state'])
+        elif str(weights).endswith(('.pt', '.pth')):
+            # reference torch checkpoint, read directly (train.py:160-180)
+            from .models.torch_import import load_torch_checkpoint
+            params, state, qstate, _ = load_torch_checkpoint(
+                net, params, state, weights, qstate=qstate)
         else:  # darknet binary
             params, state, _, _ = load_darknet_weights(
                 net, params, state, weights, pt=pt, quant=(quantized != -1))
