@@ -78,6 +78,18 @@ def parse_args(argv=None):
                         'comes from jax.distributed (parallel/multihost.py)')
     p.add_argument('--local_rank', type=int, default=-1,
                    help='accepted for CLI compat (DDP launcher parameter)')
+    p.add_argument('--coordinator', type=str,
+                   default=os.environ.get('YOLO_TPU_COORDINATOR', ''),
+                   help="multi-host: coordinator address host:port (the "
+                        "reference's env-var DDP launch, train.py:93-107); "
+                        "'auto' autodetects on Cloud TPU "
+                        "(jax.distributed.initialize with no args)")
+    p.add_argument('--num-hosts', '--num_hosts', dest='num_hosts', type=int,
+                   default=int(os.environ.get('YOLO_TPU_NUM_HOSTS', '0')),
+                   help='multi-host: total process count (WORLD_SIZE)')
+    p.add_argument('--host-id', '--host_id', dest='host_id', type=int,
+                   default=int(os.environ.get('YOLO_TPU_HOST_ID', '-1')),
+                   help='multi-host: this process index (RANK)')
     p.add_argument('--t_cfg', type=str, default='', help='teacher cfg (KD)')
     p.add_argument('--t_weights', type=str, default='')
     p.add_argument('--KDstr', type=int, default=1, help='KD strategy 1-5')
@@ -103,6 +115,17 @@ def parse_args(argv=None):
 
 def main(argv=None):
     opt = parse_args(argv)
+    if opt.coordinator:
+        # join the multi-host job BEFORE any jax op initialises the backend
+        # (reference env-var DDP init, train.py:93-107)
+        from yolo_tpu.parallel import init_multihost
+        if opt.coordinator == 'auto':
+            init_multihost()
+        else:
+            init_multihost(opt.coordinator,
+                           num_processes=opt.num_hosts or None,
+                           process_id=opt.host_id if opt.host_id >= 0
+                           else None)
     from yolo_tpu.train.loop import TrainOptions, run_training
     img_size = opt.img_size
     img_size.extend([img_size[-1]] * (3 - len(img_size)))

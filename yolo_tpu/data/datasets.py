@@ -208,13 +208,21 @@ class DetectionDataset:
     def __init__(self, path, img_size=416, batch_size=16, augment=False,
                  hyp=None, rect=False, image_weights=False,
                  cache_images=False, is_gray_scale=False, subset_len=-1,
-                 seed=None):
+                 seed=None, process_shard=None):
         path = str(Path(path))
         assert os.path.isfile(path), f'File not found {path}'
         with open(path) as f:
             self.img_files = [x for x in f.read().splitlines()
                               if os.path.splitext(x)[-1].lower() in IMG_FORMATS]
         self.rnd = random.Random(seed)
+        if process_shard is not None:
+            # per-host partition (replaces DistributedSampler, reference
+            # train.py:267-280): host i takes every pc-th item, truncated to
+            # a common length so every host sees the same batch count
+            pi, pc = process_shard
+            per_host = len(self.img_files) // pc
+            assert per_host > 0, (len(self.img_files), pc)
+            self.img_files = self.img_files[pi::pc][:per_host]
         if subset_len != -1:
             assert subset_len <= len(self.img_files)
             self.img_files = self.rnd.sample(self.img_files, subset_len)

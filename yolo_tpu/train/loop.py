@@ -107,6 +107,21 @@ def run_training(opt: TrainOptions):
     train_path = data_dict['train']
     nc = 1 if opt.single_cls else int(data_dict['classes'])
 
+    # multi-host (reference train.py:93-107 env-var DDP launch): processes
+    # joined by jax.distributed (train.py --coordinator -> init_multihost)
+    # each feed their shard of the global batch; the mesh spans all hosts'
+    # devices and XLA routes gradient psums over ICI/DCN. DP-only, like the
+    # reference (its DDP has no TP either).
+    pc, pi = jax.process_count(), jax.process_index()
+    multihost = pc > 1
+    if multihost:
+        assert opt.tp == 1, 'multi-host training is DP-only (set --tp 1)'
+        assert opt.batch_size % pc == 0, (opt.batch_size, pc)
+        assert not opt.image_weights and not opt.rect, \
+            'multi-host training uses the plain shuffled sampler'
+    local_bs = opt.batch_size // pc
+    is_chief = pi == 0
+
     imgsz_min, imgsz_max, imgsz_test = opt.img_size
     gs = 32
     assert imgsz_min % gs == 0
@@ -231,6 +246,12 @@ def run_training(opt: TrainOptions):
             mesh = make_mesh(model_parallel=opt.tp)
     elif mesh is False:
         mesh = None
+    if multihost:
+        assert mesh is not None, \
+            'multi-host training needs the device mesh (drop --no-mesh; ' \
+            'batch size must split over the data axis)'
+        assert local_bs % max(jax.local_device_count(), 1) == 0, \
+            (local_bs, jax.local_device_count())
     if mesh is not None:
         # DP-replicate + TP-shard conv output channels (parallel/mesh.py);
         # GSPMD propagates the channel sharding and inserts ICI collectives
@@ -239,10 +260,11 @@ def run_training(opt: TrainOptions):
 
     host_augment = opt.augment and not opt.device_aug
     dataset = DetectionDataset(
-        train_path, img_size, opt.batch_size, augment=host_augment, hyp=hyp,
+        train_path, img_size, local_bs, augment=host_augment, hyp=hyp,
         rect=opt.rect, cache_images=opt.cache_images,
         is_gray_scale=opt.gray_scale, image_weights=opt.image_weights,
-        seed=opt.seed)
+        seed=opt.seed,
+        process_shard=(pi, pc) if multihost else None)
     dev_aug = None
     if opt.augment and opt.device_aug:
         assert not opt.maxabsscaler, \
@@ -251,14 +273,18 @@ def run_training(opt: TrainOptions):
             'device_aug needs square letterboxed batches (no --rect)'
         from ..data.device_aug import make_device_augment
         dev_aug = make_device_augment(img_size, hyp, mosaic=True)
-    loader = BatchLoader(dataset, opt.batch_size,
-                         max_targets=opt.max_targets, shuffle=True,
+    # per-host target capacity: the global padded-target tensor concatenates
+    # pc host blocks, so each host contributes max_t/pc rows
+    local_max_t = ((opt.max_targets // pc) if opt.max_targets
+                   else 30 * local_bs)
+    loader = BatchLoader(dataset, local_bs,
+                         max_targets=local_max_t, shuffle=True,
                          drop_last=True, seed=opt.seed)
 
     log = opt.log_fn
 
     tb = None
-    if opt.tb_logdir:
+    if opt.tb_logdir and is_chief:
         try:
             from tensorboardX import SummaryWriter
             tb = SummaryWriter(opt.tb_logdir)
@@ -273,7 +299,7 @@ def run_training(opt: TrainOptions):
     best = os.path.join(opt.weights_dir, 'best.npz')
     results = (0, 0, 0, 0, 0, 0, 0)
     best_fitness = resume_best
-    if resume_results and start_epoch > 0:
+    if resume_results and start_epoch > 0 and is_chief:
         Path(opt.results_file).write_text(resume_results)
     maps = np.zeros(nc)
     t0 = time.time()
@@ -306,7 +332,7 @@ def run_training(opt: TrainOptions):
             if opt.accumulate_override is not None:
                 accumulate = opt.accumulate_override
 
-            if ni == 0 and not opt.nosave:
+            if ni == 0 and not opt.nosave and is_chief:
                 # first-batch mosaic snapshot (reference train.py:468-474)
                 try:
                     from ..utils.plots import plot_images
@@ -315,12 +341,27 @@ def run_training(opt: TrainOptions):
                 except Exception as e:
                     log(f'first-batch plot failed: {e}')
 
-            x = preprocess(imgs, opt.maxabsscaler)
+            if multihost:
+                # each host contributes its local block of the global batch
+                # (jax.make_array_from_process_local_data stitches the
+                # mesh-wide view; reference DistributedSampler equivalent);
+                # target image indices shift to global batch coordinates
+                from ..parallel import global_batch_from_host_batches
+                tgt = np.array(tgt, np.float32)
+                tgt[:, 0] += pi * local_bs
+                x_u8 = global_batch_from_host_batches(
+                    mesh, np.ascontiguousarray(imgs))
+                x = preprocess(x_u8, opt.maxabsscaler)
+                tgt_in = global_batch_from_host_batches(mesh, tgt)
+                valid_in = global_batch_from_host_batches(
+                    mesh, np.asarray(valid))
+            else:
+                x = preprocess(imgs, opt.maxabsscaler)
+                tgt_in, valid_in = jnp.asarray(tgt), jnp.asarray(valid)
             if dev_aug is not None:
-                x, tgt, valid = dev_aug(x, jnp.asarray(tgt),
-                                        jnp.asarray(valid),
-                                        jax.random.PRNGKey(opt.seed * 100003
-                                                           + ni))
+                x, tgt_in, valid_in = dev_aug(x, tgt_in, valid_in,
+                                              jax.random.PRNGKey(
+                                                  opt.seed * 100003 + ni))
             if multi_scale:
                 # bucketed size change every accumulate steps (train.py:367-374)
                 if (ni / max(accumulate, 1)) % 1 == 0:
@@ -330,10 +371,9 @@ def run_training(opt: TrainOptions):
                         x, (x.shape[0], cur_size, cur_size, x.shape[3]),
                         method='bilinear')
 
-            if mesh is not None:
+            if mesh is not None and not multihost:
                 x = shard_batch(mesh, x)
-            ts, items = grad_fn(ts, x, jnp.asarray(tgt), jnp.asarray(valid),
-                                gr, loss_scale)
+            ts, items = grad_fn(ts, x, tgt_in, valid_in, gr, loss_scale)
             host_accum += 1
             if host_accum >= accumulate:
                 ts = update_fn(ts, scalars)
@@ -354,24 +394,34 @@ def run_training(opt: TrainOptions):
         final_epoch = epoch + 1 == opt.epochs
         eval_params = ts.ema.params if (opt.ema and ts.ema is not None) else ts.params
         eval_state = ts.ema.state if (opt.ema and ts.ema is not None) else ts.bn_state
-        if not opt.notest or final_epoch:
+        if (not opt.notest or final_epoch) and (is_chief or not multihost):
             # evaluate straight from the live TrainState — params keep their
             # mesh shardings (no ~236 MB device->host->device round-trip per
             # epoch) and eval itself shards over the data axis (VERDICT r2
-            # missing #2; reference test.py:55-56 nn.DataParallel)
+            # missing #2; reference test.py:55-56 nn.DataParallel).
+            # Multi-host: rank 0 evaluates locally on the (replicated)
+            # params — a mesh-collective eval would deadlock the other
+            # ranks, which skip eval like the reference's rank gating.
+            ev_mesh = None if multihost else mesh
+            ev_params, ev_state, ev_qstate = eval_params, eval_state, ts.qstate
+            if multihost:
+                ev_params = jax.device_get(ev_params)
+                ev_state = jax.device_get(ev_state)
+                ev_qstate = None if ts.qstate is None \
+                    else jax.device_get(ts.qstate)
             eval_bs = max(opt.batch_size // 4, 1)
-            if mesh is not None:
+            if ev_mesh is not None:
                 from ..parallel.mesh import DATA_AXIS
-                nd = mesh.shape[DATA_AXIS]
+                nd = ev_mesh.shape[DATA_AXIS]
                 eval_bs = -(-eval_bs // nd) * nd
             results, maps, _ = evaluate(
-                net, eval_params, eval_state,
+                net, ev_params, ev_state,
                 opt.data, batch_size=eval_bs,
                 img_size=imgsz_test, is_gray_scale=opt.gray_scale,
                 multi_label=ni > n_burn, maxabsscaler=opt.maxabsscaler,
                 single_cls=opt.single_cls, quant_apply=quant_apply,
-                qstate=ts.qstate, loss_hyp=loss_hyp,
-                anchor_vecs=anchor_vecs, mesh=mesh)
+                qstate=ev_qstate, loss_hyp=loss_hyp,
+                anchor_vecs=anchor_vecs, mesh=ev_mesh)
 
         # TensorBoard scalars + BN-gamma histograms (train.py:530-542)
         if tb is not None:
@@ -388,13 +438,16 @@ def run_training(opt: TrainOptions):
                 tb.add_histogram('bn_weights/hist', gammas, epoch,
                                  bins='doane')
 
-        with open(opt.results_file, 'a') as f:
-            f.write(('%10.4g' * 12 + '\n') % (epoch, *mloss, *results))
+        if is_chief:
+            # reference gates results/checkpoint writes on rank 0
+            # (train.py:524, 561)
+            with open(opt.results_file, 'a') as f:
+                f.write(('%10.4g' * 12 + '\n') % (epoch, *mloss, *results))
 
         fi = float(fitness(np.array(results).reshape(1, -1))[0])
         if fi > best_fitness:
             best_fitness = fi
-        if not opt.nosave:
+        if not opt.nosave and is_chief:
             training_results = Path(opt.results_file).read_text() \
                 if os.path.exists(opt.results_file) else ''
             save_checkpoint(last, params=jax.device_get(ts.params),
