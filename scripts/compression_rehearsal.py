@@ -90,8 +90,12 @@ classes=1
 num=3
 """
 
-HYP_TINY = ('# toy regime: no burn-in floor, no accumulation, boosted lr\n'
-            '#\nlr0 0.16\nmomentum 0.937\nweight_decay 0.0\n')
+# toy regime: no burn-in floor, no accumulation, boosted lr. 0.16 (the
+# test_train_convergence value) collapses the residual rehearsal net to the
+# no-object optimum; 0.04 converges to ~0.995 mAP in <100 epochs.
+# (hyp*.txt format: the first two lines are a fixed header, config.py:146)
+HYP_TINY = ('# toy hyp\n'
+            '#\nlr0 0.04\nmomentum 0.937\nweight_decay 0.0\n')
 
 
 def _toy_workspace(root: str, n_images: int = 16):
@@ -148,6 +152,9 @@ def run_rehearsal(workdir: str, *, fast: bool = False, log=print) -> dict:
     scale = 0.4 if fast else 1.0
     E = {k: max(int(v * scale), 8) for k, v in
          dict(base=240, sparse=90, ft=90, qat=60).items()}
+    # the sparse stage needs ~60 epochs at s=0.03 for the gamma mass to
+    # collapse (measured: 36 epochs -> masked mAP 0.29; 60 -> 0.995)
+    E['sparse'] = max(E['sparse'], 60)
     R: dict = {}
 
     def train(tag, epochs, weights='', **kw):
@@ -178,8 +185,11 @@ def run_rehearsal(workdir: str, *, fast: bool = False, log=print) -> dict:
 
     # ---- stage 2: sparse training (train.py --prune 1 --s) ---------------
     log('[2/7] sparse training (BN-gamma L1)...')
+    # s=0.03 measured on this net: 84% of BN-gammas < 0.01 after the sparse
+    # phase, and slim prune at 0.3 then holds mAP exactly; at s<=0.01 the
+    # gammas stay too live and percent 0.3 kills the model
     map_sparse, w_sparse = train('sparse', E['sparse'], weights=w_base,
-                                 prune=1, sparsity=0.003)
+                                 prune=1, sparsity=0.03)
     R['sparse'] = {'mAP': map_sparse}
     log(f'      sparse mAP@0.5 = {map_sparse:.3f}')
     assert map_sparse > 0.4, f'sparse training collapsed: {map_sparse}'
@@ -299,7 +309,7 @@ def _write_results_md(path: str, R: dict):
     pr = R['prune']
     rows = [
         ('fp32 baseline', R['base']['mAP'], f"{pr['params_before']} params"),
-        ('sparse (BN-γ L1)', R['sparse']['mAP'], 's=0.003'),
+        ('sparse (BN-γ L1)', R['sparse']['mAP'], 's=0.03'),
         ('slim prune 0.3 (masked, no finetune)', pr['mAP_masked'],
          'bias-compensated'),
         ('slim prune 0.3 (compact)', pr['mAP_compact'],

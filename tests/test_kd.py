@@ -83,6 +83,40 @@ def test_kd5_foreground_mask():
     assert abs(float(v_eq)) < 1e-5
 
 
+def test_kd_nhwc_layout_matches_anchor_major():
+    """Strategies 2-5 with layout='nhwc' on transposed heads reproduce the
+    anchor-major values exactly (the NHWC loss-layout optimization ported
+    to the KD gather, VERDICT r2 next #1c)."""
+    out_s, out_t, tgt, valid, av, nc = _case(7, shapes=((2, 2), (4, 4)))
+    # nhwc view: (bs, na, ny, nx, no) -> (bs, ny, nx, na, no)
+    nh_s = [jnp.transpose(p, (0, 2, 3, 1, 4)) for p in out_s]
+    nh_t = [jnp.transpose(p, (0, 2, 3, 1, 4)) for p in out_t]
+    rng = np.random.RandomState(8)
+    fs = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+    ft = [jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))]
+
+    a2 = kd.kd2(out_s, out_t, tgt, valid, av, nc)
+    n2 = kd.kd2(nh_s, nh_t, tgt, valid, av, nc, layout='nhwc')
+    np.testing.assert_allclose(float(n2[0]), float(a2[0]), rtol=1e-6)
+    np.testing.assert_allclose(float(n2[1]), float(a2[1]), rtol=1e-6)
+    a3 = kd.kd3(out_s, out_t, tgt, valid, av, nc)
+    n3 = kd.kd3(nh_s, nh_t, tgt, valid, av, nc, layout='nhwc')
+    np.testing.assert_allclose(float(n3), float(a3), rtol=1e-6)
+    a4 = kd.kd4(out_s, out_t, fs, ft, tgt, valid, av, nc, batch_size=2)
+    n4 = kd.kd4(nh_s, nh_t, fs, ft, tgt, valid, av, nc, batch_size=2,
+                layout='nhwc')
+    np.testing.assert_allclose(float(n4), float(a4), rtol=1e-6)
+    a5 = kd.kd5(out_s, out_t, fs, ft, tgt, valid, av, nc, batch_size=2,
+                img_size=64, strides=(32, 16))
+    n5 = kd.kd5(nh_s, nh_t, fs, ft, tgt, valid, av, nc, batch_size=2,
+                img_size=64, strides=(32, 16), layout='nhwc')
+    np.testing.assert_allclose(float(n5), float(a5), rtol=1e-6)
+    # kd1 is a row-set-invariant global KL: transposing both sides together
+    # must not change it
+    np.testing.assert_allclose(float(kd.kd1(nh_s, nh_t, nc, 2)),
+                               float(kd.kd1(out_s, out_t, nc, 2)), rtol=1e-6)
+
+
 @pytest.mark.parametrize('strategy', [1, 2, 3, 4, 5])
 def test_kd_in_train_step(tmp_path, strategy):
     """Full integration: teacher forward inside the jitted train step."""

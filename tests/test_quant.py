@@ -250,3 +250,91 @@ def test_legacy_scheme_weight_grids(toy):
     assert d.min() >= -1 and d.max() <= 1
     lv = np.unique(np.round((d + 1) / 2 * 255, 4))
     np.testing.assert_allclose(lv, np.round(lv), atol=1e-3)
+
+
+def test_qat_bf16_matches_f32_calibration(toy):
+    """bf16-compute QAT (the training default since r3, VERDICT r2 next #1):
+    quantizer/tracker/BN-fold math stays f32 and the fake-quant edges are
+    grid-exact in bf16, so calibration must land on the SAME pow-2 scales
+    as the f32 path and the eval io must track it closely."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.3 + 0.5
+
+    outs = {}
+    for dt in (None, jnp.bfloat16):
+        qstate, _ = Q.init_quant_state(net, cfg)
+        apply = Q.make_quant_apply(net, cfg, compute_dtype=dt)
+        st, qs = state, qstate
+        for _ in range(4):
+            (yolo_p, _), st, qs = apply(params, st, qs, x, train=True)
+        io, _, _ = apply(params, st, qs, x, train=False)
+        outs[dt] = (qs, np.asarray(io, np.float32),
+                    np.asarray(yolo_p[0], np.float32))
+
+    qs32, io32, _ = outs[None]
+    qsbf, iobf, ybf = outs[jnp.bfloat16]
+    # pow-2 scales: identical (tracker min/max of bf16-observed values can
+    # only move within the pow-2 snap bucket for well-scaled activations)
+    for k in qs32:
+        for q in ('aq', 'wq', 'bq'):
+            if isinstance(qs32[k], dict) and q in qs32[k]:
+                np.testing.assert_array_equal(
+                    np.asarray(qs32[k][q]['scale']),
+                    np.asarray(qsbf[k][q]['scale']),
+                    err_msg=f'{k}/{q} scale')
+    # decoded io tracks the f32 path within bf16 conv rounding
+    d = np.abs(io32[..., 4:] - iobf[..., 4:])
+    assert d.mean() < 5e-3, d.mean()
+    assert np.isfinite(ybf).all()
+
+
+def test_qat_bf16_train_step_runs(toy):
+    """bf16 QAT through the full jitted train step (grads in f32, bf16
+    activations end-to-end, NHWC head layout)."""
+    from yolo_tpu.train.loss import LossHyp, pad_targets
+    from yolo_tpu.train.trainer import init_train_state, make_train_functions
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    qapply = Q.make_quant_apply(net, cfg, compute_dtype=jnp.bfloat16,
+                                head_layout='nhwc')
+    assert qapply.head_layout == 'nhwc'
+    anchor_vecs = [l.anchors / l.yolo_stride for l in net.layers
+                   if l.kind == 'yolo']
+    grad_fn, update_fn = make_train_functions(
+        net, anchor_vecs, nc=2, hyp=LossHyp(), optimizer='adam',
+        quant_apply=qapply)
+    ts = init_train_state(params, state, optimizer='adam', qstate=qstate)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    tgt, valid = pad_targets(
+        [np.array([[1, .5, .5, .3, .3]], np.float32)] * 2, 8)
+    for _ in range(2):
+        ts, items = grad_fn(ts, imgs, jnp.asarray(tgt), jnp.asarray(valid),
+                            1.0, 1.0)
+    assert np.isfinite(np.asarray(items)).all()
+    from yolo_tpu.train.schedules import burn_in_scalars
+    scalars, _, _ = burn_in_scalars(1000, 500, 0, lr0=0.01, momentum=0.9,
+                                    weight_decay=0.0, epochs=5, batch_size=2)
+    ts = update_fn(ts, scalars)
+    gsum = sum(float(jnp.abs(v).sum())
+               for d in ts.params.values() for v in d.values())
+    assert np.isfinite(gsum)
+
+
+def test_quant_apply_nhwc_layout_matches(toy):
+    """head_layout='nhwc' yolo_p is exactly the transpose of the
+    anchor-major emission (same data, free reshape)."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 0.3 + 0.5
+    am = Q.make_quant_apply(net, cfg)
+    nh = Q.make_quant_apply(net, cfg, head_layout='nhwc')
+    (p_am, _), st_a, qs_a = am(params, state, qstate, x, train=True)
+    (p_nh, _), st_n, qs_n = nh(params, state, qstate, x, train=True)
+    for a, n in zip(p_am, p_nh):
+        np.testing.assert_array_equal(np.asarray(a),
+                                      np.asarray(jnp.transpose(
+                                          n, (0, 3, 1, 2, 4))))

@@ -40,6 +40,9 @@ def parse_args(argv=None):
                         '4 DoReFa, 5 binary-W, 6 ternary-W')
     p.add_argument('--a-bit', type=int, default=8)
     p.add_argument('--w-bit', type=int, default=8)
+    p.add_argument('--qat-dtype', default='bf16', choices=['bf16', 'f32'],
+                   help='QAT conv compute dtype: bf16 (default; quantizer/'
+                        'tracker/BN-fold math stays f32) or f32')
     p.add_argument('--shortcut_way', type=int, default=1)
     p.add_argument('--maxabsscaler', '-mas', action='store_true')
     p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
@@ -148,6 +151,7 @@ def main(argv=None):
         cache_images=opt.cache_images, single_cls=opt.single_cls,
         adam=opt.adam, ema=opt.ema, prune=opt.prune, sparsity=opt.sparsity,
         quantized=opt.quantized, a_bit=opt.a_bit, w_bit=opt.w_bit,
+        qat_dtype=opt.qat_dtype,
         shortcut_way=opt.shortcut_way, maxabsscaler=opt.maxabsscaler,
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
         t_weights=opt.t_weights, kd_strategy=opt.KDstr,

@@ -73,11 +73,17 @@ def qrange(bits: int, sign: bool = True):
 
 
 def fq(x, scale, zero_point, bits: int, sign: bool = True):
-    """Fake quantize with STE (quantize, round, clamp, dequantize)."""
+    """Fake quantize with STE (quantize, round, clamp, dequantize).
+
+    The quantize arithmetic always runs in f32 (identical round boundaries
+    whatever the storage dtype); the result keeps x's dtype — for <=8 bits
+    the dequantized grid (int * pow-2 scale) is exactly representable in
+    bfloat16, so a bf16 training step loses nothing here."""
     qmin, qmax = qrange(bits, sign)
-    q = round_half_away(x / scale + zero_point)
+    xf = x.astype(jnp.float32)
+    q = round_half_away(xf / scale + zero_point)
     q = jnp.clip(q, qmin, qmax)
-    dq = (q - zero_point) * scale
+    dq = ((q - zero_point) * scale).astype(x.dtype)
     return x + jax.lax.stop_gradient(dq - x)
 
 
@@ -177,14 +183,16 @@ search_pow2.defvjp(_sp2_fwd, _sp2_bwd)
 def tpsq_quantize(x, scale_param, bits: int):
     """TPSQ fake-quant: soft-clamp to ±p2(scale), scale to the integer grid
     with (2^(b-1)-1)/p2 and back with p2/2^(b-1) (quantized_TPSQ.py:78-118,
-    asymmetric quantize/dequantize ranges preserved)."""
+    asymmetric quantize/dequantize ranges preserved). Quantizer math in f32,
+    output in x's dtype (grid-exact in bf16 — see fq)."""
     p2 = search_pow2(scale_param)
-    clamped = 0.5 * (jnp.abs(x + p2) - jnp.abs(x - p2))
+    xf = x.astype(jnp.float32)
+    clamped = 0.5 * (jnp.abs(xf + p2) - jnp.abs(xf - p2))
     qr_q = (1 << (bits - 1)) - 1
     qr_dq = 1 << (bits - 1)
     scaled = clamped * qr_q / p2
     q = scaled + jax.lax.stop_gradient(round_half_away(scaled) - scaled)
-    return q * p2 / qr_dq
+    return (q * p2 / qr_dq).astype(x.dtype)
 
 
 def _tpsq_search_scale(x, bits: int):
@@ -336,8 +344,11 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
     if train:
         axes = (0, 1, 2)
         n = out_f.shape[0] * out_f.shape[1] * out_f.shape[2]
-        batch_mean = jnp.mean(out_f, axis=axes)
-        bv = jnp.var(out_f, axis=axes) * n / max(n - 1, 1)   # unbiased
+        # statistics in f32 whatever the conv compute dtype (bf16 mean/var
+        # accumulation would destroy the variance cancellation)
+        out32 = out_f.astype(jnp.float32)
+        batch_mean = jnp.mean(out32, axis=axes)
+        bv = jnp.var(out32, axis=axes) * n / max(n - 1, 1)   # unbiased
         # first-batch copy fires only while the running stats are still the
         # quantized conv's zero-init (quantized_google.py:341-346: first_bn
         # == 0 AND running_mean == 0 AND running_var == 0) — stats loaded
@@ -368,7 +379,8 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
 
 def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                      compute_dtype=None, warmup: bool = False,
-                     capture_trace: bool = False):
+                     capture_trace: bool = False,
+                     head_layout: str = 'anchor_major'):
     """Build the quantized apply:
 
     apply(params, state, qstate, x, train=False) ->
@@ -379,6 +391,21 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     quantized conv; shortcut -> requantized add (min/max way) except TPSQ
     which keeps the float shortcut (models.py:273-274); multi-route ->
     requantized concat.
+
+    ``compute_dtype``: dtype of the conv MACs (None = input dtype). The
+    quantizer/tracker/BN-fold math always runs in f32 regardless — with
+    bfloat16 MACs the fake-quantized edges stay EXACT (an int8 grid value
+    times a pow-2 scale fits bf16's 8-bit mantissa, the same argument as
+    models/int8_engine.py), so bf16 QAT training halves the MXU time of
+    the dominant double-conv without moving the calibration trajectory
+    (guarded by tests/test_quant.py::test_qat_bf16_matches_f32_calibration).
+
+    ``head_layout``: 'anchor_major' emits the reference (bs,na,ny,nx,no)
+    yolo_p (a real per-scale transpose); 'nhwc' emits (bs,ny,nx,na,no) — a
+    free reshape of the NHWC head conv output, paired with
+    compute_loss(layout='nhwc') / the KD nhwc gather (the trainer's NHWC
+    loss-layout optimization, PERFORMANCE.md). Exposed as
+    ``apply.head_layout``.
 
     ``capture_trace`` appends a {layer_key: output} dict to the train-mode
     return — the per-layer differential-parity hook used by
@@ -437,7 +464,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                                           train=train)
         out = conv_ops.conv2d(x, qw, stride=stride, padding=lyr.pad,
                               groups=lyr.groups, compute_dtype=compute_dtype)
-        out = out + qb
+        # non-promoting bias add: qb sits on an 8-bit grid (bf16-exact)
+        out = out + qb.astype(out.dtype)
         if sch == 'dorefa' and lyr.activation == 'leaky' \
                 and not cfg.maxabsscaler:
             # the dorefa modules use slope 0.125, not the google modules'
@@ -476,8 +504,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         qr = max(abs(qmin), abs(qmax))
         w = None
         if lyr.weighted:
-            w = jax.nn.sigmoid(params[str(lyr.index)]['w']) * \
-                (2.0 / (len(lyr.layers) + 1))
+            w = (jax.nn.sigmoid(params[str(lyr.index)]['w']) *
+                 (2.0 / (len(lyr.layers) + 1))).astype(x.dtype)
             x = x * w[0]
         for i, j in enumerate(lyr.layers):
             a = outs[j]
@@ -575,7 +603,10 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         new_state = dict(state)
         new_q = {k: dict(v) if isinstance(v, dict) else v
                  for k, v in qstate.items()}
-        prev = x
+        # activations flow in the compute dtype end-to-end (the fake-quant
+        # edges are grid-exact in bf16); quantizer/tracker/BN-fold math
+        # stays f32 inside the primitives above
+        prev = x if compute_dtype is None else x.astype(compute_dtype)
         for lyr in layers:
             k = str(lyr.index)
             if lyr.kind in ('conv', 'depthwise'):
@@ -626,8 +657,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 if sch == 'tpsq' or k not in new_q:
                     x_ = prev
                     if lyr.weighted:
-                        ws = jax.nn.sigmoid(params[k]['w']) * \
-                            (2.0 / (len(lyr.layers) + 1))
+                        ws = (jax.nn.sigmoid(params[k]['w']) *
+                              (2.0 / (len(lyr.layers) + 1))).astype(x_.dtype)
                         x_ = x_ * ws[0]
                     for i, j in enumerate(lyr.layers):
                         a = outs[j]
@@ -647,7 +678,12 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                     prev, new_q[k] = qshortcut(lyr, params, dict(new_q[k]),
                                                prev, outs, train)
             elif lyr.kind == 'yolo':
-                yolo_p.append(reshape_pred(prev, lyr.na, lyr.no))
+                if head_layout == 'nhwc':
+                    bs_, ny_, nx_, _ = prev.shape
+                    yolo_p.append(prev.reshape(bs_, ny_, nx_, lyr.na,
+                                               lyr.no))
+                else:
+                    yolo_p.append(reshape_pred(prev, lyr.na, lyr.no))
                 head_out.append(prev)
             elif lyr.kind in ('reorg3d', 'dropout'):
                 pass
@@ -673,6 +709,7 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 yi += 1
         return jnp.concatenate(ios, axis=1), yolo_p, feats
 
+    apply.head_layout = head_layout
     return apply
 
 

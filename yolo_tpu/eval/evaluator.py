@@ -88,6 +88,11 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
                 return dets, items[:3], correct
             return dets, jnp.zeros(3), correct
     else:
+        # quant applies may emit NHWC-layout heads (make_quant_apply
+        # head_layout='nhwc', the training-path default)
+        loss_layout = getattr(quant_apply, 'head_layout', 'anchor_major') \
+            if quant_apply is not None else 'anchor_major'
+
         @jax.jit
         def infer(params, state, qstate, x, targets, valid):
             io, yolo_p, _ = fwd(params, state, qstate, x)
@@ -100,7 +105,7 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
                 from ..train.loss import compute_loss
                 _, items = compute_loss(
                     [p.astype(jnp.float32) for p in yolo_p], targets, valid,
-                    anchor_vecs, nc, loss_hyp, 1.0)
+                    anchor_vecs, nc, loss_hyp, 1.0, layout=loss_layout)
                 return dets, items[:3], correct
             return dets, jnp.zeros(3), correct
     return infer

@@ -35,9 +35,12 @@ def _kl_div_sum(log_p_s, p_t):
 
 
 def _soft_kl(student_logits, teacher_logits, T=T_KD):
-    """KL(softmax(t/T) || softmax(s/T)) summed, times T^2."""
-    log_ps = jax.nn.log_softmax(student_logits / T, axis=-1)
-    pt = jax.nn.softmax(teacher_logits / T, axis=-1)
+    """KL(softmax(t/T) || softmax(s/T)) summed, times T^2. Reductions in
+    f32 (bf16 heads feed straight in — XLA fuses the upcast into the
+    softmax reads, no extra HBM pass)."""
+    log_ps = jax.nn.log_softmax(student_logits.astype(jnp.float32) / T,
+                                axis=-1)
+    pt = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
     return _kl_div_sum(log_ps, pt) * (T * T)
 
 
@@ -50,23 +53,35 @@ def kd1(output_s: Sequence, output_t: Sequence, nc: int, batch_size: int):
     return _soft_kl(s, t) / batch_size * Lambda_ST
 
 
-def _gathered_boxes(p, lt):
-    """Decode student/teacher boxes at assigned cells: (na*T, 4) grid units."""
-    bs, na, ny, nx, no = p.shape
+def _gathered_boxes(p, lt, layout: str = 'anchor_major'):
+    """Decode student/teacher boxes at assigned cells: (na*T, 4) grid units.
+
+    layout='nhwc' gathers from the free-reshape (bs, ny, nx, na, no) head
+    (the trainer's NHWC loss-layout optimization); 'anchor_major' from the
+    reference (bs, na, ny, nx, no). Same rows either way."""
+    if layout == 'nhwc':
+        bs, ny, nx, na, no = p.shape
+    else:
+        bs, na, ny, nx, no = p.shape
     b = lt.b.reshape(-1)
     a = lt.a.reshape(-1)
     gj = jnp.clip(lt.gj.reshape(-1), 0, ny - 1)
     gi = jnp.clip(lt.gi.reshape(-1), 0, nx - 1)
-    ps = p[b, a, gj, gi]
+    ps = p[b, gj, gi, a] if layout == 'nhwc' else p[b, a, gj, gi]
+    ps = ps.astype(jnp.float32)
     xy = jax.nn.sigmoid(ps[:, 0:2])
     wh = jnp.exp(ps[:, 2:4]) * lt.av.reshape(-1, 2)
     return jnp.concatenate([xy, wh], axis=1)
 
 
-def _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t=0.2):
+def _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t=0.2,
+                       layout: str = 'anchor_major'):
     lts = []
     for i, p in enumerate(output_s):
-        _, _, ny, nx, _ = p.shape
+        if layout == 'nhwc':
+            _, ny, nx, _, _ = p.shape
+        else:
+            _, _, ny, nx, _ = p.shape
         lts.append(build_targets_layer(targets, valid,
                                        jnp.asarray(anchor_vecs[i]), ny, nx,
                                        iou_t))
@@ -74,7 +89,7 @@ def _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t=0.2):
 
 
 def kd2(output_s, output_t, targets, valid, anchor_vecs, nc: int,
-        iou_t: float = 0.2):
+        iou_t: float = 0.2, layout: str = 'anchor_major'):
     """L2-to-GT with teacher margin + KLDiv on obj/cls
     (compute_lost_KD2, utils/utils.py:446-487). Box term only counts where
     the student is farther from GT than the teacher (+reg_m margin).
@@ -85,12 +100,13 @@ def kd2(output_s, output_t, targets, valid, anchor_vecs, nc: int,
     lbox = jnp.zeros(())
     reg_num = jnp.zeros(())
     reg_nb = jnp.zeros(())
-    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t,
+                             layout)
     for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
         mask = lt.mask.reshape(-1)
         tbox = jnp.concatenate([lt.txy.reshape(-1, 2), lt.twh.reshape(-1, 2)], 1)
-        psbox = _gathered_boxes(ps_raw, lt)
-        ptbox = _gathered_boxes(pt_raw, lt)
+        psbox = _gathered_boxes(ps_raw, lt, layout)
+        ptbox = _gathered_boxes(pt_raw, lt, layout)
         d_s = jnp.sum(jnp.square(psbox - tbox), axis=1)
         d_t = jnp.sum(jnp.square(ptbox - tbox), axis=1)
         worse = (d_s + reg_m > d_t) & mask
@@ -106,17 +122,18 @@ def kd2(output_s, output_t, targets, valid, anchor_vecs, nc: int,
 
 
 def kd3(output_s, output_t, targets, valid, anchor_vecs, nc: int,
-        iou_t: float = 0.2):
+        iou_t: float = 0.2, layout: str = 'anchor_major'):
     """L2 student->teacher boxes at assigned cells + KLDiv obj/cls
     (compute_lost_KD3, utils/utils.py:490-521)."""
     Lambda_cls, Lambda_box = 0.0001, 0.001
     lcls = jnp.zeros(())
     lbox = jnp.zeros(())
-    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t,
+                             layout)
     for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
         mask = lt.mask.reshape(-1)
-        psbox = _gathered_boxes(ps_raw, lt)
-        ptbox = _gathered_boxes(pt_raw, lt)
+        psbox = _gathered_boxes(ps_raw, lt, layout)
+        ptbox = _gathered_boxes(pt_raw, lt, layout)
         lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
         s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
         t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
@@ -131,18 +148,20 @@ def _feature_saliency(f):
 
 
 def kd4(output_s, output_t, feature_s, feature_t, targets, valid,
-        anchor_vecs, nc: int, batch_size: int, iou_t: float = 0.2):
+        anchor_vecs, nc: int, batch_size: int, iou_t: float = 0.2,
+        layout: str = 'anchor_major'):
     """KD3 + feature-map KLDiv on |sum| saliency maps
     (compute_lost_KD4, utils/utils.py:524-564)."""
     # NOTE: KD4 weights cls at 0.001 (vs 0.0001 in KD2/3) — utils/utils.py:526
     Lambda_cls, Lambda_box, Lambda_feature = 0.001, 0.001, 0.001
     lcls = jnp.zeros(())
     lbox = jnp.zeros(())
-    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t,
+                             layout)
     for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
         mask = lt.mask.reshape(-1)
-        psbox = _gathered_boxes(ps_raw, lt)
-        ptbox = _gathered_boxes(pt_raw, lt)
+        psbox = _gathered_boxes(ps_raw, lt, layout)
+        ptbox = _gathered_boxes(pt_raw, lt, layout)
         lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
         s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
         t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
@@ -195,7 +214,8 @@ def _foreground_mask(h, w, lts, strides, img_size, mode: str = 'rect'):
 
 def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
         anchor_vecs, nc: int, batch_size: int, img_size: int,
-        strides: Sequence[int], iou_t: float = 0.2, mask_mode: str = 'rect'):
+        strides: Sequence[int], iou_t: float = 0.2, mask_mode: str = 'rect',
+        layout: str = 'anchor_major'):
     """KD4 with fine-grained foreground masking of the feature saliency maps
     (compute_lost_KD5, utils/utils.py:609-654). mask_mode: 'rect' (fixed
     full-rectangle footprint) or 'diag' (bit-compatible with the reference's
@@ -203,11 +223,12 @@ def kd5(output_s, output_t, feature_s, feature_t, targets, valid,
     Lambda_cls, Lambda_box, Lambda_feature = 0.001, 0.001, 0.001
     lcls = jnp.zeros(())
     lbox = jnp.zeros(())
-    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t)
+    lts = _per_layer_targets(output_s, targets, valid, anchor_vecs, iou_t,
+                             layout)
     for ps_raw, pt_raw, lt in zip(output_s, output_t, lts):
         mask = lt.mask.reshape(-1)
-        psbox = _gathered_boxes(ps_raw, lt)
-        ptbox = _gathered_boxes(pt_raw, lt)
+        psbox = _gathered_boxes(ps_raw, lt, layout)
+        ptbox = _gathered_boxes(pt_raw, lt, layout)
         lbox = lbox + jnp.sum(jnp.sum(jnp.square(psbox - ptbox), 1) * mask)
         s_oc = ps_raw[..., 4:].reshape(-1, nc + 1)
         t_oc = pt_raw[..., 4:].reshape(-1, nc + 1)
@@ -280,11 +301,19 @@ def failure_case_loss_fm(masks, imgs, targets, valid):
 def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
                     anchor_vecs, img_size: int = 416,
                     strides: Sequence[int] = (32, 16, 8),
-                    kd5_mask: str = 'rect'):
+                    kd5_mask: str = 'rect', layout: str = 'anchor_major'):
     """Build the kd_loss_fn hook for make_train_functions (train.py:389-435).
 
     The teacher forward runs inside the jitted student step (eval-mode,
-    stop-gradient)."""
+    stop-gradient). ``layout`` declares the yolo_p layout BOTH the student
+    step and the teacher apply emit ('nhwc' pairs with the trainer's NHWC
+    loss-layout optimization; strategies 1-5 gather identically there —
+    the KL row sets are layout-invariant and the box gather is explicit).
+    KD6's output-mask row grouping is tied to the reference anchor-major
+    flatten, so it requires 'anchor_major'. Exposed as ``.layout`` for the
+    trainer."""
+    assert not (strategy == 6 and layout == 'nhwc'), \
+        "KD6's row grouping requires head_layout='anchor_major'"
 
     def kd_loss_fn(yolo_p, feats, targets, valid, imgs):
         (t_yolo, t_feats), _ = teacher_apply(t_params, t_state, imgs, True)
@@ -294,18 +323,21 @@ def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
         if strategy == 1:
             return kd1(yolo_p, t_yolo, nc, bs)
         if strategy == 2:
-            return kd2(yolo_p, t_yolo, targets, valid, anchor_vecs, nc)[0]
+            return kd2(yolo_p, t_yolo, targets, valid, anchor_vecs, nc,
+                       layout=layout)[0]
         if strategy == 3:
-            return kd3(yolo_p, t_yolo, targets, valid, anchor_vecs, nc)
+            return kd3(yolo_p, t_yolo, targets, valid, anchor_vecs, nc,
+                       layout=layout)
         if strategy == 4:
             return kd4(yolo_p, t_yolo, feats, t_feats, targets, valid,
-                       anchor_vecs, nc, bs)
+                       anchor_vecs, nc, bs, layout=layout)
         if strategy == 5:
             return kd5(yolo_p, t_yolo, feats, t_feats, targets, valid,
                        anchor_vecs, nc, bs, img_size, strides,
-                       mask_mode=kd5_mask)
+                       mask_mode=kd5_mask, layout=layout)
         if strategy == 6:
             return kd6(yolo_p, t_yolo, targets, valid, anchor_vecs, nc, bs)
         raise ValueError(f'unknown KD strategy {strategy}')
 
+    kd_loss_fn.layout = layout
     return kd_loss_fn

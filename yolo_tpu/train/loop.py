@@ -97,6 +97,11 @@ class TrainOptions:
     remat: str = 'none'                  # 'none' | 'blocks' | 'full' train
                                          # backward rematerialization policy
                                          # (trainer.py make_train_functions)
+    qat_dtype: str = 'bf16'              # QAT conv compute dtype: 'bf16'
+                                         # (default — quantizer/tracker/BN-
+                                         # fold math stays f32, fake-quant
+                                         # edges are grid-exact in bf16) or
+                                         # 'f32' (bit-identical to r2)
 
 
 def run_training(opt: TrainOptions):
@@ -175,26 +180,44 @@ def run_training(opt: TrainOptions):
         from ..compress.prune import prunable_sets_layer
         sparse_layers = tuple(prunable_sets_layer(net)[2])
 
+    # head layout for the loss/KD gather: NHWC (free reshape of the head
+    # conv output — the r2 float-step optimization) everywhere except KD6,
+    # whose output-mask row grouping is tied to the reference anchor-major
+    # flatten (train/kd.py)
+    train_layout = ('anchor_major' if (opt.t_cfg and opt.kd_strategy == 6)
+                    else 'nhwc')
+
     # KD teacher (train.py:113-119, 186-194)
     kd_fn = None
     if opt.t_cfg:
         t_bundle = load_model(opt.t_cfg, opt.t_weights,
                               compute_dtype=jnp.bfloat16)
-        t_apply = make_apply(t_bundle.net, compute_dtype=jnp.bfloat16)
+        t_apply = make_apply(t_bundle.net, compute_dtype=jnp.bfloat16,
+                             head_layout=train_layout)
         kd_fn = kd_mod.make_kd_loss_fn(
             opt.kd_strategy, t_apply, t_bundle.params, t_bundle.state, nc,
             anchor_vecs, img_size=img_size, strides=bundle.strides,
-            kd5_mask=opt.kd5_mask)
+            kd5_mask=opt.kd5_mask, layout=train_layout)
 
     # QAT: reference uses Adam and MultiStep schedule for quantized training
-    # (train.py:135-142, 196-202); the quant apply threads qstate.
-    quant_apply = bundle._apply if opt.quantized != -1 else None
+    # (train.py:135-142, 196-202); the quant apply threads qstate. The
+    # TRAINING quant apply runs bf16 convs with f32 quantizer/tracker/BN-
+    # fold math and the NHWC head layout (VERDICT r2 next #1); --qat-dtype
+    # f32 restores the r2 bit-exact path.
+    quant_apply = None
+    if opt.quantized != -1:
+        from ..compress.quant import make_quant_apply
+        quant_apply = make_quant_apply(
+            net, bundle.qcfg,
+            compute_dtype=(jnp.float32 if opt.qat_dtype == 'f32'
+                           else jnp.bfloat16),
+            head_layout=train_layout)
     use_adam = opt.adam or opt.quantized != -1
 
     grad_fn, update_fn = make_train_functions(
         net, anchor_vecs, nc=nc, hyp=loss_hyp,
         optimizer='adam' if use_adam else 'sgd',
-        compute_dtype=jnp.bfloat16 if opt.quantized == -1 else jnp.float32,
+        compute_dtype=jnp.bfloat16,
         sparsity_s=opt.sparsity if opt.prune != -1 else 0.0,
         sparse_gamma_layers=sparse_layers, kd_loss_fn=kd_fn,
         remat=(False if opt.remat in ('none', '') else

@@ -74,12 +74,20 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
     ``kd_loss_fn(yolo_p, feats, targets, valid, imgs) -> scalar`` lets the
     caller add a distillation term (train.py:389-435).
     """
-    # without KD (whose strategies index the reference (bs,na,ny,nx,no)
-    # layout) the heads flow to the loss in their native NHWC-derived
+    # the heads flow to the loss in their native NHWC-derived
     # (bs,ny,nx,na,no) shape — a free reshape instead of a per-scale
-    # permute (hlo_stats: ~6 ms of f32 data formatting at 608px/bs64)
-    head_layout = 'anchor_major' if (kd_loss_fn is not None
-                                     or quant_apply is not None) else 'nhwc'
+    # permute (hlo_stats: ~6 ms of f32 data formatting at 608px/bs64).
+    # QAT and KD paths advertise their own layout (make_quant_apply /
+    # make_kd_loss_fn ship 'nhwc' from the CLI; KD6 pins anchor_major).
+    if quant_apply is not None:
+        head_layout = getattr(quant_apply, 'head_layout', 'anchor_major')
+    elif kd_loss_fn is not None:
+        head_layout = getattr(kd_loss_fn, 'layout', 'anchor_major')
+    else:
+        head_layout = 'nhwc'
+    if quant_apply is not None and kd_loss_fn is not None:
+        assert getattr(kd_loss_fn, 'layout', 'anchor_major') == head_layout, \
+            (getattr(kd_loss_fn, 'layout', None), head_layout)
     if quant_apply is not None:
         apply = quant_apply            # QAT path: signature takes qstate too
     else:
