@@ -90,6 +90,12 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
             (getattr(kd_loss_fn, 'layout', None), head_layout)
     if quant_apply is not None:
         apply = quant_apply            # QAT path: signature takes qstate too
+        if remat in ('blocks', True):
+            # no checkpoint_name tags inside the quant apply — both remat
+            # modes save only the jit boundary and recompute the forward
+            # during the backward (memory headroom for larger QAT batches;
+            # QAT @608/bs64 misses HBM by ~0.4G without it)
+            apply = jax.checkpoint(apply, static_argnums=(4,))
     else:
         # remat: False/'none' -> XLA's automatic rematerializer (kicks in
         # when the activation set exceeds HBM); 'blocks' -> save only
