@@ -35,6 +35,9 @@ def main():
     p.add_argument('--qat-dtype', default='bf16', choices=['bf16', 'f32'])
     p.add_argument('--qat-layout', default='nhwc',
                    choices=['nhwc', 'anchor_major'])
+    p.add_argument('--s2d-min-hw', type=int, default=0,
+                   help='lower 3x3/s2 convs with input >= this px through '
+                        'the space-to-depth rewrite (0 = off)')
     p.add_argument('--kd', type=int, default=0,
                    help='KD strategy 1-5 (teacher = same cfg, own random '
                         'weights, bf16 apply inside the step)')
@@ -89,6 +92,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         optimizer='adam' if opt.quantized != -1 else 'sgd',
         kd_loss_fn=kd_fn, quant_apply=quant_apply,
+        s2d_min_hw=opt.s2d_min_hw,
         remat=(False if opt.remat == 'none'
                else True if opt.remat == 'full' else opt.remat))
     ts = init_train_state(params, state, use_ema=True, qstate=qstate,

@@ -118,6 +118,51 @@ def test_batchnorm_train_vs_torch():
     np.testing.assert_allclose(np.asarray(nv), bn.running_var.numpy(), rtol=1e-5)
 
 
+def test_s2d_stride2_conv_matches_standard():
+    """conv2d_s2d_stride2 (space-to-depth stem rewrite, PERFORMANCE.md train
+    trail) is numerics-identical to the standard stride-2 lowering — forward
+    AND gradients."""
+    from yolo_tpu.ops import conv as conv_ops
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 12, 16, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    ref = conv_ops.conv2d(x, w, stride=2, padding=1, compute_dtype=None)
+    got = conv_ops.conv2d_s2d_stride2(x, w, compute_dtype=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        return jax.grad(lambda x_, w_: jnp.sum(jnp.sin(fn(x_, w_))),
+                        argnums=(0, 1))(x, w)
+
+    gx_r, gw_r = loss(lambda a, b: conv_ops.conv2d(
+        a, b, stride=2, padding=1, compute_dtype=None))
+    gx_s, gw_s = loss(lambda a, b: conv_ops.conv2d_s2d_stride2(
+        a, b, compute_dtype=None))
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_apply_matches_standard_apply(repo_root):
+    """make_apply(s2d_min_hw=...) rewrites only the gated stride-2 convs and
+    the whole-net training forward stays numerically identical."""
+    net = build_ir(f'{repo_root}/cfg/yolov3/yolov3.cfg')   # conv-downsampled
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    x = jnp.asarray(np.random.RandomState(4).rand(1, 96, 96, 3)
+                    .astype(np.float32))
+    base = make_apply(net, compute_dtype=None)
+    s2d = make_apply(net, compute_dtype=None, s2d_min_hw=48)
+    (yp_b, _), _ = base(params, state, x, train=True)
+    (yp_s, _), _ = s2d(params, state, x, train=True)
+    for a, b in zip(yp_b, yp_s):
+        # same multiply-adds, different summation order: f32 roundoff
+        # accumulates through the 75-conv graph
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-4)
+
+
 def test_upsample_nearest():
     from yolo_tpu.ops.conv import upsample_nearest
     x = jnp.arange(4.0).reshape(1, 2, 2, 1)

@@ -106,7 +106,8 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                maxabsscaler: bool = False, fused: bool = False,
                heads_only: bool = False,
                head_layout: str = 'anchor_major',
-               remat_tags: bool = False) -> Callable:
+               remat_tags: bool = False,
+               s2d_min_hw: int = 0) -> Callable:
     """Build the network apply function.
 
     apply(params, state, x, train=False) ->
@@ -130,6 +131,11 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
         (then the NMS falls back to slicing obj from the head rows).
 
     ``fused`` skips BN (params must be pre-folded via fuse_params).
+
+    ``s2d_min_hw`` (training-perf knob): lower 3x3 stride-2 convs whose
+    input spatial extent is >= this threshold through the numerics-identical
+    space-to-depth rewrite (conv_ops.conv2d_s2d_stride2) — trades +78% stem
+    FLOPs for stride-1 MXU-dense shapes on the HBM-bound stem. 0 disables.
 
     ``remat_tags`` marks every shortcut / multi-route output with
     ``checkpoint_name('block_out')`` so a trainer-level
@@ -192,10 +198,19 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                                          padding=lyr.pad, groups=1,
                                          compute_dtype=compute_dtype)
                     pending_obj[lyr.index] = yo + p['b'][cols].astype(yo.dtype)
-                y = conv_ops.conv2d(prev, p['w'],
-                                    stride=lyr.stride_xy or lyr.stride,
-                                    padding=lyr.pad, groups=lyr.groups,
-                                    compute_dtype=compute_dtype)
+                if (s2d_min_hw and lyr.size == 3 and lyr.pad == 1
+                        and lyr.groups == 1 and lyr.stride_xy is None
+                        and lyr.stride == 2
+                        and min(prev.shape[1], prev.shape[2]) >= s2d_min_hw
+                        and prev.shape[1] % 2 == 0
+                        and prev.shape[2] % 2 == 0):
+                    y = conv_ops.conv2d_s2d_stride2(
+                        prev, p['w'], compute_dtype=compute_dtype)
+                else:
+                    y = conv_ops.conv2d(prev, p['w'],
+                                        stride=lyr.stride_xy or lyr.stride,
+                                        padding=lyr.pad, groups=lyr.groups,
+                                        compute_dtype=compute_dtype)
                 if lyr.bn and not fused:
                     if train:
                         y, m, v = conv_ops.batch_norm_train(

@@ -49,6 +49,53 @@ def conv2d(x, w, *, stride=1, padding: int = 0, groups: int = 1,
     return out.astype(orig_dtype)
 
 
+def conv2d_s2d_stride2(x, w, *, compute_dtype=jnp.bfloat16):
+    """3x3 stride-2 pad-1 conv rewritten as a 2x2 stride-1 conv over the
+    space-to-depth input — numerics-identical (same multiply-adds, scattered
+    weights), differentiable end-to-end.
+
+    Why: at 608px the stride-2 stem convs are HBM-bound and XLA assigns
+    batch-minor layouts to their backward ops (PERFORMANCE.md train trail
+    #3); the rewrite presents XLA dense stride-1 shapes with 4x the
+    contraction depth at the cost of +78% stem FLOPs (16*Cin vs 9*Cin
+    MACs/output — the zero quarter of the 2x2x4Cin kernel is still
+    multiplied). The int8 Pallas kernel uses the same transform for strided
+    windows (ops/pallas_conv.py).
+
+    Derivation (per spatial dim, pad 1): out[i] reads x[2i-1], x[2i],
+    x[2i+1]; with phases P0[a]=x[2a], P1[a]=x[2a+1] that is P1[i-1],
+    P0[i], P1[i] — a 2-tap stride-1 conv over blocks with block-pad (1,0)
+    whose tap-0 weight on P0 is zero. Zero-padding the 3x3 kernel to 4x4
+    at the front and splitting each spatial dim into (block, phase) places
+    every original tap: d+1 = 2*b + p.
+
+    ``w`` is the canonical HWIO (3,3,Cin,Cout) parameter — rearrangement
+    happens inside the jitted program (a trivial transform of the small
+    weight), so checkpoints, optimizer state and gradients stay canonical.
+    Requires even spatial dims (darknet sizes are multiples of 32).
+    """
+    n, h, ww, c = x.shape
+    cout = w.shape[-1]
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    # weights: (3,3,Cin,Cout) -> front-pad to (4,4) -> (bi,pi,bj,pj,Cin,Cout)
+    # -> (2,2, 4*Cin, Cout) with channel order (pi,pj,cin)
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(2, 2, 2, 2, c, cout).transpose(0, 2, 1, 3, 4, 5) \
+           .reshape(2, 2, 4 * c, cout)
+    # input: (N,H,W,C) -> (N, H/2, W/2, 4C), channel order (pi,pj,c)
+    x2 = x.reshape(n, h // 2, 2, ww // 2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+          .reshape(n, h // 2, ww // 2, 4 * c)
+    out = lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=DIMNUMS,
+        preferred_element_type=None if compute_dtype is not None else jnp.float32,
+    )
+    return out.astype(orig_dtype)
+
+
 def batch_norm_infer(x, gamma, beta, mean, var, eps: float = 1e-5):
     """Inference-mode BN (running statistics). The scale/shift are computed
     in f32 then cast to the activation dtype so bf16 activations stay bf16

@@ -61,7 +61,8 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
                          sparse_gamma_layers: tuple[int, ...] = (),
                          kd_loss_fn: Callable | None = None,
                          remat: bool | str = False,
-                         quant_apply: Callable | None = None):
+                         quant_apply: Callable | None = None,
+                         s2d_min_hw: int = 0):
     """Build (grad_fn, update_fn) jittables.
 
     grad_fn(state, imgs, targets, valid, gr, loss_scale [, t_args])
@@ -103,7 +104,8 @@ def make_train_functions(net: NetworkIR, anchor_vecs, nc: int, hyp: LossHyp,
         # each block; True/'full' -> save nothing, recompute everything.
         apply = make_apply(net, compute_dtype=compute_dtype,
                            head_layout=head_layout,
-                           remat_tags=(remat == 'blocks'))
+                           remat_tags=(remat == 'blocks'),
+                           s2d_min_hw=s2d_min_hw)
         if remat == 'blocks':
             apply = jax.checkpoint(
                 apply, static_argnums=(3,),
