@@ -722,3 +722,104 @@ def test_kd5_diag_parity(ref, tmp_path):
     m_rect = KD._foreground_mask(20, 20, lts, strides, size, 'rect')(bs)
     assert float(jnp.sum((m_diag > 0) & (m_rect == 0))) == 0
     assert float(jnp.sum(m_rect)) > float(jnp.sum(m_diag))
+
+
+def _rand_decoded_pred(seed, bs, n, nc, size=416.0):
+    """Random decoded io (bs, n, 5+nc): clustered xywh boxes + obj/cls in
+    (0,1), a few degenerate (sub-MIN_WH) and non-finite rows to exercise
+    the constraint filters (utils/utils.py:791, 813-815)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(60, size - 60, (8, 2))
+    which = rng.randint(0, len(centers), n)
+    xy = centers[which] + rng.normal(0, 18, (bs, n, 2))
+    wh = rng.uniform(12.0, 180.0, (bs, n, 2))
+    bad = rng.rand(bs, n, 2) < 0.03
+    wh = np.where(bad, rng.uniform(0.1, 1.9, (bs, n, 2)), wh)
+    obj = rng.uniform(0, 1, (bs, n, 1))
+    cls = rng.uniform(0, 1, (bs, n, nc))
+    pred = np.concatenate([xy, wh, obj, cls], -1).astype(np.float32)
+    pred[:, 0, 0] = np.inf                    # finite-constraint rows
+    pred[:, 1, 5] = np.nan
+    return pred
+
+
+@pytest.mark.parametrize('agnostic,classes', [
+    (False, None), (True, None), (False, (1, 4))],
+    ids=['default', 'agnostic', 'classes'])
+def test_nms_parity(ref, agnostic, classes):
+    """Batched merge-NMS matches the reference non_max_suppression
+    (utils/utils.py:782-860: conf/wh/finite constraints, multi-label pairs,
+    class filter, class-offset greedy NMS, weighted-mean box merge) on
+    identical decoded predictions, image by image."""
+    import torch
+    from yolo_tpu.ops.nms import non_max_suppression as my_nms
+    from yolo_tpu.ops.nms import to_host_detections
+
+    bs, n, nc = 4, 220, 6
+    conf_thres, iou_thres = 0.3, 0.6
+    pred = _rand_decoded_pred(5, bs, n, nc)
+    pred[3, :, 4] *= 0.01                     # image with zero survivors
+
+    out_ref = ref.utils.non_max_suppression(
+        torch.from_numpy(pred.copy()), conf_thres=conf_thres,
+        iou_thres=iou_thres, multi_label=True,
+        classes=list(classes) if classes else None, agnostic=agnostic)
+
+    # top_k >= n*nc: the fixed-capacity buffers hold every candidate pair,
+    # so the fixed-shape pipeline must be EXACTLY the reference algorithm
+    det = my_nms(jnp.asarray(pred), conf_thres=conf_thres,
+                 iou_thres=iou_thres, top_k=n * nc, max_det=n * nc,
+                 multi_label=True, agnostic=agnostic, classes=classes,
+                 merge=True, use_pallas=False)
+    out_mine = to_host_detections(det)
+
+    assert len(out_mine) == len(out_ref) == bs
+    for i, (a, b) in enumerate(zip(out_mine, out_ref)):
+        if b is None or len(b) == 0:
+            assert a is None, f'image {i}: reference empty, mine {a}'
+            continue
+        b = b.numpy()
+        assert a is not None and len(a) == len(b), \
+            f'image {i}: {0 if a is None else len(a)} vs {len(b)} detections'
+        np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-5,
+                                   err_msg=f'image {i} scores')
+        np.testing.assert_array_equal(a[:, 5], b[:, 5],
+                                      err_msg=f'image {i} classes')
+        np.testing.assert_allclose(a[:, :4], b[:, :4], rtol=1e-4, atol=5e-3,
+                                   err_msg=f'image {i} merged boxes')
+
+
+def test_metrics_parity(ref):
+    """ap_per_class / compute_ap / fitness match the reference math
+    (utils/utils.py:162-251, 1113-1116) bit-for-bit on synthetic stats,
+    including classes with zero predictions or zero ground truth."""
+    from yolo_tpu.eval.metrics import ap_per_class, compute_ap, fitness
+
+    rng = np.random.RandomState(3)
+    n_pred, n_tgt, niou = 400, 160, 10
+    tp = rng.rand(n_pred, niou) < rng.uniform(0.15, 0.6, (n_pred, 1))
+    tp = np.sort(tp, axis=1)[:, ::-1]         # monotone across iou thresholds
+    conf = rng.rand(n_pred)
+    pred_cls = rng.randint(0, 7, n_pred).astype(np.float64)
+    pred_cls[pred_cls == 6] = 8               # class with preds but no GT
+    target_cls = rng.randint(0, 8, n_tgt).astype(np.float64)  # 7: GT, no preds
+
+    p0, r0, ap0, f10, uc0 = ref.utils.ap_per_class(
+        tp.astype(np.float64), conf.copy(), pred_cls.copy(),
+        target_cls.copy())
+    p1, r1, ap1, f11, uc1 = ap_per_class(tp, conf, pred_cls, target_cls)
+
+    np.testing.assert_array_equal(uc1, uc0)
+    np.testing.assert_allclose(p1, p0, rtol=1e-12, err_msg='precision')
+    np.testing.assert_allclose(r1, r0, rtol=1e-12, err_msg='recall')
+    np.testing.assert_allclose(ap1, ap0, rtol=1e-12, err_msg='AP')
+    np.testing.assert_allclose(f11, f10, rtol=1e-12, err_msg='F1')
+
+    rec = np.sort(rng.rand(50)); prec = rng.rand(50)
+    np.testing.assert_allclose(compute_ap(rec, prec),
+                               ref.utils.compute_ap(rec, prec), rtol=1e-12)
+
+    x = rng.rand(5, 7)
+    np.testing.assert_allclose(np.asarray(fitness(x)).reshape(-1),
+                               np.asarray(ref.utils.fitness(x)).reshape(-1),
+                               rtol=1e-12)

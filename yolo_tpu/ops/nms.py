@@ -40,6 +40,10 @@ def _pairs(box_xywh, obj, cls, conf_thres, top_k, multi_label, agnostic,
     (score-sorted desc)."""
     nc = cls.shape[1]
     scores = cls * obj[:, None]                        # (box_k, nc)
+    # the reference's finite constraint is per (box, class) pair
+    # (utils/utils.py:813-815 filters rows of the pair matrix): a non-finite
+    # class score kills only that pair, never the box's other classes
+    scores = jnp.where(jnp.isfinite(scores), scores, 0.0)
     if classes is not None:
         import numpy as np
         mask = np.zeros(nc, bool)
@@ -89,7 +93,10 @@ def _candidates(pred, conf_thres, top_k, multi_label, agnostic, classes=None):
     cls = pred[:, 5:]
 
     wh_ok = jnp.all((box_xywh[:, 2:4] > MIN_WH) & (box_xywh[:, 2:4] < MAX_WH), axis=1)
-    finite_ok = jnp.all(jnp.isfinite(pred), axis=1)
+    # per-box finite check covers box + obj only; class scores are checked
+    # per (box, class) pair in _pairs, matching the reference's pair-row
+    # isfinite filter (utils/utils.py:813-815)
+    finite_ok = jnp.all(jnp.isfinite(pred[:, :5]), axis=1)
     base_ok = wh_ok & finite_ok & (obj > conf_thres)
 
     # Stage 1: pre-select boxes by objectness — a top-k over N instead of
@@ -184,6 +191,13 @@ def non_max_suppression(pred, conf_thres: float = 0.1, iou_thres: float = 0.6,
 
 def _suppress_and_finalize(boxes, oboxes, cand_scores, cls_idx, valid,
                            iou_thres, merge, max_sweeps, max_det, use_pallas):
+    # Invalid candidates (score-zeroed junk rows, incl. non-finite decodes
+    # the reference drops outright, utils/utils.py:813-815) still sit in the
+    # fixed-shape buffers; zero their coordinates so the merge matmul never
+    # multiplies a zero weight by inf/NaN (0 * inf = NaN would poison every
+    # merged box in the image).
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
+    oboxes = jnp.where(valid[..., None], oboxes, 0.0)
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     if use_pallas:
@@ -307,7 +321,9 @@ def _heads_candidates(heads, anchors, strides, no, conf_thres, top_k,
     box_xywh = rows[..., :4]
     wh_ok = jnp.all((box_xywh[..., 2:4] > MIN_WH)
                     & (box_xywh[..., 2:4] < MAX_WH), axis=-1)
-    finite_ok = jnp.all(jnp.isfinite(rows), axis=-1) & jnp.isfinite(obj)
+    # box + obj finite per box; class scores are checked per pair in _pairs
+    finite_ok = (jnp.all(jnp.isfinite(box_xywh), axis=-1)
+                 & jnp.isfinite(obj))
     obj = jnp.where(wh_ok & finite_ok & (obj > conf_thres), obj, 0.0)
 
     # reduce the concatenated per-scale quotas to the global box_k buffer
