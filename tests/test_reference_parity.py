@@ -823,3 +823,131 @@ def test_metrics_parity(ref):
     np.testing.assert_allclose(np.asarray(fitness(x)).reshape(-1),
                                np.asarray(ref.utils.fitness(x)).reshape(-1),
                                rtol=1e-12)
+
+
+@pytest.mark.parametrize('cfg_rel', ['yolov3tiny/yolov3-tiny.cfg',
+                                     'yolov3/yolov3.cfg'],
+                         ids=['tiny', 'yolov3'])
+def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
+    """FPGA weight export is byte-identical to the reference's
+    convert_FPGA.py (:41-158) given the same calibrated quantization state:
+    the packed int8 weight/bias streams, the '<i4' w/a/b shift-exponent
+    files (a_scale prefixed with the input Q7), and the quantized
+    shortcuts' s_scale.
+
+    Calibration runs once on OUR side and the resulting scales/running
+    stats are injected into the reference model's buffers before its
+    export — the calibration trajectory itself is covered by
+    test_google_qat_forward_parity (bit-equal scales up to documented
+    pow-2 boundary flips); this test isolates the exporter semantics
+    (BN_fuse math, pow-2 quantize, packing, graph-walk ordering)."""
+    import importlib.util
+    import torch
+    from yolo_tpu.compress.fpga_export import export_fpga_weights
+    from yolo_tpu.compress.quant import (QuantConfig, init_quant_state,
+                                         make_quant_apply)
+    from yolo_tpu.models.network import init_params
+    import types as _types
+
+    size, steps = 160, 60
+    tm = _ref_model(ref, cfg_rel, size, seed=0, conv_scale=0.6)
+    wpath = tmp_path / 'shared.weights'
+    ref.models.save_weights(tm, str(wpath))
+
+    # our side: load shared weights, run the google-QAT calibration
+    net = build_ir(f'/root/reference/cfg/{cfg_rel}')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    params, state, _, _ = load_darknet_weights(net, params, state,
+                                               str(wpath), quant=True)
+    qcfg = QuantConfig(scheme='google', a_bits=8, w_bits=8,
+                       shortcut_way=1, steps=steps)
+    qstate, _ = init_quant_state(net, qcfg)
+    apply = jax.jit(make_quant_apply(net, qcfg), static_argnums=4)
+    rng = np.random.RandomState(7)
+    calib = [rng.rand(2, 3, size, size).astype(np.float32) for _ in range(2)]
+    st, qs = state, qstate
+    for b in calib:
+        _, st, qs = apply(params, st, qs,
+                          jnp.asarray(b.transpose(0, 2, 3, 1)), True)
+    st, qs = jax.device_get(st), jax.device_get(qs)
+
+    # reference model with the SAME weights + injected calibration state
+    qm = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
+                            img_size=(size, size), quantized=1,
+                            a_bit=8, w_bit=8, steps=steps, shortcut_way=1)
+    ref.models.load_darknet_weights(qm, str(wpath), quant=True)
+    with torch.no_grad():
+        for lyr in net.layers:
+            m = qm.module_list[lyr.index]
+            k = str(lyr.index)
+            if lyr.kind in ('conv', 'depthwise'):
+                conv = next(mm for mm in m.modules() if type(mm).__name__
+                            == 'BNFold_QuantizedConv2d_For_FPGA')
+                conv.weight_quantizer.scale.fill_(float(qs[k]['wq']['scale']))
+                conv.bias_quantizer.scale.fill_(float(qs[k]['bq']['scale']))
+                conv.activation_quantizer.scale.fill_(
+                    float(qs[k]['aq']['scale']))
+                if lyr.bn:
+                    conv.running_mean.copy_(
+                        torch.from_numpy(np.asarray(st[k]['mean'])))
+                    conv.running_var.copy_(
+                        torch.from_numpy(np.asarray(st[k]['var'])))
+            elif lyr.kind == 'shortcut' and 'scale' in qs.get(k, {}):
+                m.scale.fill_(float(qs[k]['scale']))
+    pt_path = tmp_path / 'qat.pt'
+    torch.save({'model': qm.state_dict()}, str(pt_path))
+
+    # run the reference exporter in-process (it is cwd- and opt-driven)
+    spec = importlib.util.spec_from_file_location(
+        'ref_convert_fpga', '/root/reference/convert_FPGA.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # convert() does not forward shortcut_way/steps to Darknet; inject the
+    # construction params the calibrated state_dict was built with
+    orig_darknet = mod.Darknet
+    # convert_FPGA.py passes a stale 'FPGA' kwarg Darknet no longer accepts
+    # (the script crashes as-shipped); drop it and forward the construction
+    # params the calibrated state_dict was built with
+    mod.Darknet = lambda *a, **k: orig_darknet(
+        *a, **{kk: v for kk, v in k.items() if kk != 'FPGA'},
+        shortcut_way=1, steps=steps)
+    mod.ONNX_EXPORT = False      # models.py sets it before its star-exports
+    mod.opt = _types.SimpleNamespace(
+        cfg=f'/root/reference/cfg/{cfg_rel}', weights=str(pt_path),
+        img_size=size, device='cpu', quantized=1, a_bit=8, w_bit=8,
+        FPGA=False, reorder=False, TN=8, TM=64, gray_scale=False)
+    refdir = tmp_path / 'refout'
+    (refdir / 'weights').mkdir(parents=True)
+    monkeypatch.chdir(refdir)
+    mod.convert()
+    capsys.readouterr()                       # swallow the per-layer prints
+    stem = cfg_rel.split('/')[-1].replace('.cfg', '')
+    ref_files = {n: (refdir / 'weights' / f'{stem}_{n}.bin').read_bytes()
+                 for n in ('weights', 'bias', 'w_scale', 'a_scale',
+                           'b_scale', 's_scale')}
+
+    bundle = _types.SimpleNamespace(net=net, params=params, state=st,
+                                    qstate=qs, qcfg=qcfg)
+    mydir = tmp_path / 'myout'
+    export_fpga_weights(bundle, str(mydir))
+
+    for ours, theirs in (('weights', 'weights'), ('biases', 'bias'),
+                         ('w_scale', 'w_scale'), ('a_scale', 'a_scale'),
+                         ('b_scale', 'b_scale'), ('s_scale', 's_scale')):
+        mine = (mydir / f'{ours}.bin').read_bytes()
+        want = ref_files[theirs]
+        assert len(mine) == len(want), \
+            f'{ours}.bin: {len(mine)} vs {len(want)} bytes'
+        if mine == want:
+            continue
+        a = np.frombuffer(mine, np.int8).astype(np.int32)
+        b = np.frombuffer(want, np.int8).astype(np.int32)
+        ndiff, step = int((a != b).sum()), int(np.abs(a - b).max())
+        # the weight/bias streams may carry O(1-in-10^7) single-quantum
+        # flips: torch and numpy can differ by one f32 ulp in the BN-fuse
+        # product, which flips floor(|x|+.5) when x/scale sits exactly on
+        # a .5 boundary (measured: 1 element of 61.9M on yolov3). The
+        # shift-exponent files must stay byte-exact.
+        budget = (3 if ours in ('weights', 'biases') else 0)
+        assert step <= 1 and ndiff <= budget, \
+            f'{ours}.bin: {ndiff}/{len(a)} bytes differ (max step {step})'

@@ -190,22 +190,39 @@ def collect_activations(bundle, x):
 def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
                         TM=32, TN=32):
     """convert_FPGA.py equivalent: packed int weight/bias streams + per-layer
-    shift exponents for every conv (convert_FPGA.py:41-158)."""
+    shift exponents for every conv (convert_FPGA.py:41-158).
+
+    Byte-compatible with the reference exporter in the no-reorder layout
+    (test_reference_parity.py::test_fpga_export_parity): weights/biases are
+    the packed little-endian int stream of the BN-fused, pow-2-quantized
+    values in graph order; the scale files are '<i4' shift exponents
+    (-log2 scale, truncated toward zero like the reference's int()), with
+    a_scale prefixed by the input quantization Q (7 for 8-bit, 14 for
+    16-bit, convert_FPGA.py:36-39) and s_scale carrying the quantized
+    shortcuts' post-sum scales (convert_FPGA.py:155-158). The reorder=True
+    weight layout follows the quantizer_output dump's TM/TN tiling
+    (quantized_google.py:423-476) rather than convert_FPGA.py's variant."""
     from .quant import bn_fuse_weights
     cfg = bundle.qcfg
     bits = cfg.w_bits if cfg else 8
-    dtype = np.int8 if bits <= 8 else np.int16
+    dtype = np.dtype('<i1') if bits <= 8 else np.dtype('<i2')
     os.makedirs(outdir, exist_ok=True)
     fused = bn_fuse_weights(bundle.net, bundle.params, bundle.state)
     qmin, qmax = qrange(bits, True)
 
     all_w, all_b = [], []
-    w_shifts, b_shifts, a_shifts = [], [], []
+    w_shifts, b_shifts, s_shifts = [], [], []
+    a_shifts = [14 if bits == 16 else 7]      # input Q prefix (Q14 / Q7)
     for lyr in bundle.net.layers:
-        if lyr.kind not in ('conv', 'depthwise'):
-            continue
         k = str(lyr.index)
         qs = (bundle.qstate or {}).get(k, {})
+        if lyr.kind == 'shortcut':
+            if 'scale' in qs:                 # quantized shortcut only
+                s_shifts.append(_shift_exponent(
+                    float(np.asarray(qs['scale']))))
+            continue
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
         w_scale = float(np.asarray(qs.get('wq', {}).get('scale', 1.0)))
         b_scale = float(np.asarray(qs.get('bq', {}).get('scale', 1.0)))
         a_scale = float(np.asarray(qs.get('aq', {}).get('scale', 1.0)))
@@ -227,9 +244,10 @@ def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
 
     np.concatenate(all_w).tofile(os.path.join(outdir, 'weights.bin'))
     np.concatenate(all_b).tofile(os.path.join(outdir, 'biases.bin'))
-    np.asarray(w_shifts, np.int8).tofile(os.path.join(outdir, 'w_scale.bin'))
-    np.asarray(b_shifts, np.int8).tofile(os.path.join(outdir, 'b_scale.bin'))
-    np.asarray(a_shifts, np.int8).tofile(os.path.join(outdir, 'a_scale.bin'))
+    np.asarray(w_shifts, '<i4').tofile(os.path.join(outdir, 'w_scale.bin'))
+    np.asarray(b_shifts, '<i4').tofile(os.path.join(outdir, 'b_scale.bin'))
+    np.asarray(a_shifts, '<i4').tofile(os.path.join(outdir, 'a_scale.bin'))
+    np.asarray(s_shifts, '<i4').tofile(os.path.join(outdir, 's_scale.bin'))
     return outdir
 
 
