@@ -80,6 +80,16 @@ def install_torchvision_stub():
     sys.modules['torchvision.ops.boxes'] = boxes_mod
 
 
+def _install_numpy_legacy_aliases():
+    """The reference predates numpy 1.24 (np.int in utils/datasets.py:278,
+    np.float elsewhere); restore the removed builtin aliases in-process."""
+    import numpy as np
+    for name, typ in (('int', int), ('float', float), ('bool', bool),
+                      ('object', object)):
+        if not hasattr(np, name):
+            setattr(np, name, typ)
+
+
 def _enable_cpu_cuda_shim():
     """prune_model_keep_size hard-codes .cuda() (prune_utils.py:267-269);
     make it a no-op on this CPU-only box."""
@@ -93,6 +103,7 @@ def load_reference():
     """Import the reference's model/utils modules; returns a namespace."""
     os.environ.setdefault('MPLBACKEND', 'Agg')
     install_torchvision_stub()
+    _install_numpy_legacy_aliases()
     _enable_cpu_cuda_shim()
     if REF_ROOT not in sys.path:
         sys.path.append(REF_ROOT)

@@ -951,3 +951,157 @@ def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
         budget = (3 if ours in ('weights', 'biases') else 0)
         assert step <= 1 and ndiff <= budget, \
             f'{ours}.bin: {ndiff}/{len(a)} bytes differ (max step {step})'
+
+
+def test_end_to_end_eval_parity(ref, tmp_path, monkeypatch, capsys):
+    """The COMPLETE evaluation stacks agree: a model trained here, exported
+    to darknet .weights, evaluated by the reference's test.test()
+    (test.py:10-254 — its own dataloader, letterbox, forward, NMS,
+    per-image matching, ap_per_class) and by evaluate() on the same
+    dataset gives the same P / R / mAP@0.5 / F1."""
+    import importlib.util
+    import types as _types
+    import cv2
+    from yolo_tpu.eval.evaluator import evaluate
+    from yolo_tpu.models.darknet_io import save_darknet_weights
+    from yolo_tpu.runtime import load_model
+    from yolo_tpu.train.loop import TrainOptions, run_training
+
+    ws = tmp_path / 'ws'
+    (ws / 'images').mkdir(parents=True)
+    (ws / 'labels').mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(12):
+        img = np.full((96, 96, 3), 40, np.uint8)
+        cls = i % 2
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        bw, bh = 0.36, 0.3
+        pts = (int((cx - bw / 2) * 96), int((cy - bh / 2) * 96),
+               int((cx + bw / 2) * 96), int((cy + bh / 2) * 96))
+        color = (0, 0, 255) if cls == 0 else (0, 200, 40)
+        cv2.rectangle(img, pts[:2], pts[2:], color, -1)
+        p = ws / 'images' / f'im{i}.jpg'
+        cv2.imwrite(str(p), img)
+        (ws / 'labels' / f'im{i}.txt').write_text(
+            f'{cls} {cx} {cy} {bw} {bh}\n')
+        paths.append(str(p))
+    (ws / 'all.txt').write_text('\n'.join(paths))
+    (ws / 'obj.names').write_text('red\ngreen\n')
+    data = ws / 'obj.data'
+    data.write_text(f"classes=2\ntrain={ws}/all.txt\nvalid={ws}/all.txt\n"
+                    f"names={ws}/obj.names\n")
+    cfg = ws / 'model.cfg'
+    # the reference HARDCODES yolo strides [32,16,8] (models.py:311), so
+    # the toy head must sit at a true /32 downsample for its decode to be
+    # meaningful: five stride-2 convs, 96px -> 3x3 grid
+    cfg.write_text("""
+[net]
+width=96
+height=96
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=21
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=23,19, 16,30, 33,23
+classes=2
+num=3
+""")
+    hyp = ws / 'hyp.txt'
+    hyp.write_text('# toy hyp\n#\nlr0 0.04\nmomentum 0.937\nweight_decay 0.0\n')
+
+    opt = TrainOptions(
+        cfg=str(cfg), data=str(data), weights='', epochs=160, batch_size=4,
+        img_size=(96, 96, 96), notest=True, n_burn_override=30, ema=False,
+        augment=False, accumulate_override=1, hyp_path=str(hyp),
+        weights_dir=str(tmp_path / 'w'),
+        results_file=str(tmp_path / 'w' / 'results.txt'),
+        device_mesh=False, seed=0, log_fn=lambda *a: None)
+    run_training(opt)
+
+    b = load_model(str(cfg), str(tmp_path / 'w' / 'last.npz'))
+    wdark = tmp_path / 'trained.weights'
+    save_darknet_weights(b.net, b.params, b.state, str(wdark))
+
+    r_mine, maps_mine, _ = evaluate(
+        b.net, b.params, b.state, str(data), batch_size=4, img_size=96,
+        conf_thres=0.001, iou_thres=0.6, compute_dtype=jnp.float32,
+        progress=False)
+    assert r_mine[2] > 0.6, f'toy model failed to train: mAP {r_mine[2]}'
+
+    spec = importlib.util.spec_from_file_location(
+        'ref_test_mod', '/root/reference/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.opt = _types.SimpleNamespace(device='cpu', task='eval-parity')
+    monkeypatch.chdir(tmp_path)                 # reference writes plots to cwd
+    (r_ref, maps_ref) = mod.test(
+        str(cfg), str(data), weights=str(wdark), batch_size=4, imgsz=96,
+        conf_thres=0.001, iou_thres=0.6, save_json=False, plot=False)
+    capsys.readouterr()
+
+    np.testing.assert_allclose(
+        np.asarray(r_mine[:4], np.float64), np.asarray(r_ref[:4], np.float64),
+        atol=5e-3, err_msg=f'(P, R, mAP@0.5, F1): {r_mine[:4]} vs {r_ref[:4]}')
+    np.testing.assert_allclose(np.asarray(maps_mine), np.asarray(maps_ref),
+                               atol=5e-3, err_msg='per-class AP')
