@@ -389,3 +389,31 @@ def test_train_cli_quantized_dorefa(workspace, tmp_path, monkeypatch):
     ])
     assert os.path.exists('weights/last.npz')
     assert np.isfinite(np.array(r)).all()
+
+
+def test_test_cli_save_json(workspace, tmp_path, monkeypatch):
+    """--save-json writes COCO-format detections (results.json, reference
+    test.py:143-247 contract: image_id from the stem, xywh top-left boxes in
+    original-image pixels, category_id passthrough for non-COCO classes)."""
+    import json
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import test as test_cli
+    test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                   '--data', str(workspace / 'obj.data'),
+                   '--weights', 'm.npz', '--img-size', '64',
+                   '--batch-size', '2', '--conf-thres', '0.001',
+                   '--save-json'])
+    dets = json.loads((tmp_path / 'results.json').read_text())
+    assert dets, 'random model at conf 0.001 should emit detections'
+    for d in dets[:5]:
+        assert set(d) == {'image_id', 'category_id', 'bbox', 'score'}
+        assert d['category_id'] == 0 and len(d['bbox']) == 4
+        assert 0 <= d['score'] <= 1
