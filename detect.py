@@ -57,6 +57,12 @@ def main(argv=None):
     p.add_argument('--TN', type=int, default=32)
     p.add_argument('--layer_idx', type=int, default=-1,
                    help='restrict --quantizer_output dumps to one layer')
+    p.add_argument('--FPGA', action='store_true',
+                   help='accepted for reference-CLI compat and ignored: '
+                        'the flag only feeds the reference\'s unwired '
+                        'legacy quantized_ptq modules, and reference '
+                        'detect.py:26 passing it to Darknet() (which has '
+                        'no such kwarg, models.py:443) crashes outright')
     opt = p.parse_args(argv)
 
     import cv2
@@ -85,10 +91,33 @@ def main(argv=None):
                               classes=tuple(opt.classes)
                               if opt.classes else None)
 
-    if opt.quantizer_output:
-        from yolo_tpu.compress.fpga_export import dump_quantizer_output
-        dump_quantizer_output(bundle, reorder=opt.reorder, TM=opt.TM,
-                              TN=opt.TN, layer_idx=opt.layer_idx)
+    # The reference dumps quantizer_output during the forward of the actual
+    # detect input and post-passes upsample layers afterwards
+    # (detect.py:64-107, :221 output_upsample.Val_upsample); here the dump
+    # runs once on the first preprocessed image.
+    dump_pending = bool(opt.quantizer_output)
+
+    def maybe_dump(x_u8):
+        nonlocal dump_pending
+        if not dump_pending:
+            return
+        dump_pending = False
+        if not bundle.quantized:
+            # the reference's dump lives inside the quantized modules —
+            # a float model has nothing to dump there either
+            print('--quantizer_output ignored: model is not quantized')
+            return
+        from yolo_tpu.compress.fpga_export import (
+            dump_input_artifacts, dump_quantizer_output,
+            upsample_activation_dumps)
+        xin = preprocess(np.asarray(x_u8[:1]), opt.maxabsscaler)
+        dump_quantizer_output(bundle, x=xin, reorder=opt.reorder,
+                              TM=opt.TM, TN=opt.TN, layer_idx=opt.layer_idx)
+        if opt.maxabsscaler:
+            dump_input_artifacts(np.asarray(x_u8[0]),
+                                 bundle.qcfg.a_bits if bundle.qcfg else 8)
+        if opt.layer_idx == -1:
+            upsample_activation_dumps(bundle.net, TN=opt.TN)
 
     src = opt.source
     webcam = src == '0' or src.startswith(('rtsp', 'http')) or \
@@ -144,6 +173,7 @@ def main(argv=None):
                       for b in buf])
         if len(buf) < bs:
             x = np.concatenate([x, np.repeat(x[-1:], bs - len(buf), axis=0)])
+        maybe_dump(x)
         t0 = time.time()
         dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
         dt = (time.time() - t0) / len(buf)
@@ -157,6 +187,7 @@ def main(argv=None):
             # one TPU dispatch covers every stream
             paths, img, im0s, _ = item
             x = np.ascontiguousarray(img.transpose(0, 2, 3, 1))
+            maybe_dump(x)
             t0 = time.time()
             dets = to_host_detections(infer(preprocess(x, opt.maxabsscaler)))
             dt = (time.time() - t0) / len(dets)

@@ -13,6 +13,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--img-size', type=int, default=416)
+    p.add_argument('--device', type=str, default='',
+                   help='accepted for reference-CLI compat; devices are '
+                        'selected by JAX automatically')
     opt = p.parse_args(argv)
 
     from yolo_tpu.ir import build_ir

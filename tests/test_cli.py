@@ -417,3 +417,92 @@ def test_test_cli_save_json(workspace, tmp_path, monkeypatch):
         assert set(d) == {'image_id', 'category_id', 'bbox', 'score'}
         assert d['category_id'] == 0 and len(d['bbox']) == 4
         assert 0 <= d['score'] <= 1
+
+
+def test_qat_checkpoint_roundtrip(workspace, tmp_path, monkeypatch):
+    """QAT training persists its quantizer calibration in the checkpoint
+    (the reference keeps scales/trackers/BN-fold stats as state_dict
+    buffers, quantized_google.py registered buffers) and load_model
+    restores it — resuming or detecting from a QAT checkpoint must not
+    silently reset to uncalibrated scales."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import train as train_cli
+    from yolo_tpu.runtime import load_model
+    from yolo_tpu.utils.checkpoint import load_checkpoint
+
+    train_cli.main([
+        '--cfg', str(workspace / 'toy.cfg'),
+        '--data', str(workspace / 'obj.data'),
+        '--epochs', '1', '--batch-size', '4', '--img-size', '64', '64', '64',
+        '--quantized', '1', '--notest',
+    ])
+    ck = load_checkpoint('weights/last.npz')
+    assert 'qstate' in ck, 'QAT checkpoint must embed quantizer state'
+
+    bundle = load_model(str(workspace / 'toy.cfg'), 'weights/last.npz',
+                        quantized=1)
+    fresh = load_model(str(workspace / 'toy.cfg'), quantized=1)
+    def leaves(tree, prefix=''):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from leaves(v, f'{prefix}{k}/')
+        elif tree is not None:
+            yield prefix.rstrip('/'), np.asarray(tree)
+
+    saved = dict(leaves(ck['qstate']))
+    got = dict(leaves(bundle.qstate))
+    init = dict(leaves(fresh.qstate))
+    assert saved, 'QAT qstate should not be empty'
+    calibrated = 0
+    for k, v in saved.items():
+        np.testing.assert_array_equal(got[k], v, err_msg=k)
+        if k in init and (np.shape(init[k]) != v.shape
+                          or not np.array_equal(init[k], v)):
+            calibrated += 1
+    assert calibrated > 0, \
+        'one training batch must move some tracker/stat off its init'
+
+
+def test_detect_cli_quantizer_output(workspace, tmp_path, monkeypatch):
+    """detect --quantizer_output mirrors the reference flow (detect.py:
+    64-107, :221): per-layer FPGA dumps of the first real detect input,
+    the --maxabsscaler input-quantization artifacts (not0_count == 0 at
+    8 bits by construction), and the upsample post-pass hook."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                  '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4', '--no-eval',
+                  '--out', 'weights/PTQ.npz'])
+
+    import detect as detect_cli
+    detect_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                     '--data', str(workspace / 'obj.data'),
+                     '--weights', 'weights/PTQ.npz', '--quantized', '3',
+                     '--source', str(workspace / 'images'),
+                     '--img-size', '64', '--conf-thres', '0.01',
+                     '--output', 'out', '--quantizer_output', '--reorder',
+                     '--maxabsscaler', '--batch-size', '2'])
+    qo = tmp_path / 'quantizer_output'
+    for rel in ('w_scale_out/w_scale_0000_conv.txt',
+                'q_weight_out/q_weight_0000_conv.txt',
+                'q_activation_out/q_activation_0000_conv.txt',
+                'q_weight_reorder/0000_conv_bias_weight_q_bin',
+                'q_activation_reorder/0000_conv_activation_q_bin',
+                'img_input.txt', 'img_bin', 'q_img_input.txt', 'q_img_bin',
+                'not0_count.txt'):
+        assert (qo / rel).exists(), rel
+    assert float(np.loadtxt(qo / 'not0_count.txt')) == 0.0
+    # img_bin is the raw CHW byte stream of the first letterboxed frame
+    raw = np.frombuffer((qo / 'img_bin').read_bytes(), np.int8)
+    assert raw.size == 3 * 64 * 64

@@ -825,36 +825,22 @@ def test_metrics_parity(ref):
                                rtol=1e-12)
 
 
-@pytest.mark.parametrize('cfg_rel', ['yolov3tiny/yolov3-tiny.cfg',
-                                     'yolov3/yolov3.cfg'],
-                         ids=['tiny', 'yolov3'])
-def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
-    """FPGA weight export is byte-identical to the reference's
-    convert_FPGA.py (:41-158) given the same calibrated quantization state:
-    the packed int8 weight/bias streams, the '<i4' w/a/b shift-exponent
-    files (a_scale prefixed with the input Q7), and the quantized
-    shortcuts' s_scale.
-
-    Calibration runs once on OUR side and the resulting scales/running
-    stats are injected into the reference model's buffers before its
-    export — the calibration trajectory itself is covered by
-    test_google_qat_forward_parity (bit-equal scales up to documented
-    pow-2 boundary flips); this test isolates the exporter semantics
-    (BN_fuse math, pow-2 quantize, packing, graph-walk ordering)."""
-    import importlib.util
+def _calibrated_qat_twin(ref, cfg_rel, size, steps, tmp_path, *,
+                         quantizer_output=False, reorder=False, TM=32, TN=32):
+    """Shared darknet weights + OUR google-QAT calibration, with the
+    resulting scales/running stats injected into the reference model's
+    buffers — both sides then see identical quantization state, isolating
+    whatever machinery the caller tests (export, dumps) from the
+    already-covered calibration trajectory."""
     import torch
-    from yolo_tpu.compress.fpga_export import export_fpga_weights
     from yolo_tpu.compress.quant import (QuantConfig, init_quant_state,
                                          make_quant_apply)
     from yolo_tpu.models.network import init_params
-    import types as _types
 
-    size, steps = 160, 60
     tm = _ref_model(ref, cfg_rel, size, seed=0, conv_scale=0.6)
     wpath = tmp_path / 'shared.weights'
     ref.models.save_weights(tm, str(wpath))
 
-    # our side: load shared weights, run the google-QAT calibration
     net = build_ir(f'/root/reference/cfg/{cfg_rel}')
     params, state = init_params(jax.random.PRNGKey(0), net)
     params, state, _, _ = load_darknet_weights(net, params, state,
@@ -871,10 +857,11 @@ def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
                           jnp.asarray(b.transpose(0, 2, 3, 1)), True)
     st, qs = jax.device_get(st), jax.device_get(qs)
 
-    # reference model with the SAME weights + injected calibration state
     qm = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
                             img_size=(size, size), quantized=1,
-                            a_bit=8, w_bit=8, steps=steps, shortcut_way=1)
+                            a_bit=8, w_bit=8, steps=steps, shortcut_way=1,
+                            quantizer_output=quantizer_output,
+                            reorder=reorder, TM=TM, TN=TN)
     ref.models.load_darknet_weights(qm, str(wpath), quant=True)
     with torch.no_grad():
         for lyr in net.layers:
@@ -894,6 +881,41 @@ def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
                         torch.from_numpy(np.asarray(st[k]['var'])))
             elif lyr.kind == 'shortcut' and 'scale' in qs.get(k, {}):
                 m.scale.fill_(float(qs[k]['scale']))
+                if 'input_scale' in qs[k]:     # way-1 shared input scale
+                    m.input_scale.fill_(float(qs[k]['input_scale']))
+            elif lyr.kind == 'route' and 'scale' in qs.get(k, {}):
+                # QuantizedFeatureConcat (quantized_google.py:1306-1313)
+                m.scale.fill_(float(qs[k]['scale']))
+                if hasattr(m, 'float_max_list') and 'float_max' in qs[k]:
+                    m.float_max_list.copy_(torch.from_numpy(
+                        np.asarray(qs[k]['float_max'], np.float32)))
+    return net, params, st, qs, qcfg, apply, qm, wpath
+
+
+@pytest.mark.parametrize('cfg_rel', ['yolov3tiny/yolov3-tiny.cfg',
+                                     'yolov3/yolov3.cfg'],
+                         ids=['tiny', 'yolov3'])
+def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
+    """FPGA weight export is byte-identical to the reference's
+    convert_FPGA.py (:41-158) given the same calibrated quantization state:
+    the packed int8 weight/bias streams, the '<i4' w/a/b shift-exponent
+    files (a_scale prefixed with the input Q7), and the quantized
+    shortcuts' s_scale.
+
+    Calibration runs once on OUR side and the resulting scales/running
+    stats are injected into the reference model's buffers before its
+    export — the calibration trajectory itself is covered by
+    test_google_qat_forward_parity (bit-equal scales up to documented
+    pow-2 boundary flips); this test isolates the exporter semantics
+    (BN_fuse math, pow-2 quantize, packing, graph-walk ordering)."""
+    import importlib.util
+    import torch
+    from yolo_tpu.compress.fpga_export import export_fpga_weights
+    import types as _types
+
+    size, steps = 160, 60
+    net, params, st, qs, qcfg, _, qm, wpath = _calibrated_qat_twin(
+        ref, cfg_rel, size, steps, tmp_path)
     pt_path = tmp_path / 'qat.pt'
     torch.save({'model': qm.state_dict()}, str(pt_path))
 
@@ -1105,3 +1127,154 @@ num=3
         atol=5e-3, err_msg=f'(P, R, mAP@0.5, F1): {r_mine[:4]} vs {r_ref[:4]}')
     np.testing.assert_allclose(np.asarray(maps_mine), np.asarray(maps_ref),
                                atol=5e-3, err_msg='per-class AP')
+
+
+def test_quantizer_output_dump_parity(ref, tmp_path, monkeypatch, capsys):
+    """The quantizer_output golden-file machinery matches the reference's
+    in-forward dump (quantized_google.py:395-819) on a shared calibrated
+    model: per-layer quantized weights/biases, shift exponents, overflow
+    stats, and the TM/TN reorder streams (incl. the first-layer zero-fill
+    and linear-head special cases) are value-identical; the per-layer
+    quantized activations agree to the few-quanta avalanche level the QAT
+    twin test documents.
+
+    Runs on yolov3: the reference dump crashes outright when a conv has
+    Cout < TM (yolov3-tiny's 16-filter conv0 leaves reorder_w_para =
+    None, quantized_google.py:430-486) — its machinery only ever ran
+    on yolov3-class nets."""
+    import torch
+    import types as _types
+    from yolo_tpu.compress.fpga_export import dump_quantizer_output
+
+    cfg_rel, size, steps = 'yolov3/yolov3.cfg', 160, 60
+    TM = TN = 32
+    net, params, st, qs, qcfg, _, qm, _ = _calibrated_qat_twin(
+        ref, cfg_rel, size, steps, tmp_path,
+        quantizer_output=True, reorder=True, TM=TM, TN=TN)
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(1, 3, size, size).astype(np.float32)
+
+    refdir = tmp_path / 'refdump'
+    refdir.mkdir()
+    monkeypatch.chdir(refdir)                  # dump writes to cwd
+    qm.eval()
+    with torch.no_grad():
+        qm(torch.from_numpy(x))
+    capsys.readouterr()
+    refout = refdir / 'quantizer_output'
+
+    from yolo_tpu.compress.quant import make_quant_apply
+    bundle = _types.SimpleNamespace(
+        net=net, params=params, state=st, qstate=qs, qcfg=qcfg,
+        compute_dtype=None, quantized=True,
+        _apply=jax.jit(make_quant_apply(net, qcfg), static_argnums=4))
+    mydir = tmp_path / 'mydump'
+    dump_quantizer_output(bundle, x=jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          outdir=str(mydir), reorder=True, TM=TM, TN=TN)
+
+    def load(root, rel):
+        f = root / rel
+        assert f.exists(), f'missing {rel} under {root}'
+        return np.atleast_1d(np.loadtxt(str(f)))
+
+    convs = [l for l in net.layers if l.kind in ('conv', 'depthwise')]
+    assert convs, 'no convs?'
+    for lyr in convs:
+        name = f'{lyr.index:04d}_conv'
+        # exact artifacts: depend only on the (shared) params + state
+        for rel in (f'w_scale_out/w_scale_{name}.txt',
+                    f'b_scale_out/b_scale_{name}.txt',
+                    f'q_weight_max/max_w_{name}.txt',
+                    f'max_weight_count/max_w_count_{name}.txt'):
+            np.testing.assert_array_equal(load(mydir, rel), load(refout, rel),
+                                          err_msg=rel)
+        # value artifacts: identical up to the same O(1-in-10^7)
+        # single-quantum f32-ulp .5-boundary flips test_fpga_export_parity
+        # documents (torch vs numpy BN-fuse products)
+        for rel in (f'q_weight_out/q_weight_{name}.txt',
+                    f'q_bias_out/q_bias_{name}.txt',
+                    f'q_weight_reorder/w_reorder_{name}.txt',
+                    f'q_bias_reorder/q_b_reorder_{name}.txt'):
+            a, b = load(mydir, rel), load(refout, rel)
+            assert a.shape == b.shape, rel
+            d = np.abs(a - b)
+            assert d.max() <= 1 and (d > 0).sum() <= 3, \
+                f'{rel}: {(d > 0).sum()} flips, max {d.max()}'
+        mine_bin = np.frombuffer((mydir / 'q_weight_reorder' /
+                                  f'{name}_bias_weight_q_bin').read_bytes(),
+                                 np.int8).astype(np.int32)
+        ref_bin = np.frombuffer((refout / 'q_weight_reorder' /
+                                 f'{name}_bias_weight_q_bin').read_bytes(),
+                                np.int8).astype(np.int32)
+        assert mine_bin.shape == ref_bin.shape, f'{name} bias_weight_q_bin'
+        d = np.abs(mine_bin - ref_bin)
+        assert d.max() <= 1 and (d > 0).sum() <= 3, f'{name} bias_weight_q_bin'
+
+        # activation artifacts: identical pow-2 grids, so differences are
+        # integer quanta from the cross-backend f32 accumulation avalanche
+        # (same bound as test_google_qat_forward_parity head outputs)
+        a_sc = load(mydir, f'a_scale_out/a_scale_{name}.txt')
+        np.testing.assert_array_equal(
+            a_sc, load(refout, f'a_scale_out/a_scale_{name}.txt'),
+            err_msg=f'a_scale {name}')
+        qa_m = load(mydir, f'q_activation_out/q_activation_{name}.txt')
+        qa_r = load(refout, f'q_activation_out/q_activation_{name}.txt')
+        assert qa_m.shape == qa_r.shape, f'q_activation shape {name}'
+        d = np.abs(qa_m - qa_r)
+        assert d.mean() < 1.5 and d.max() < 16, \
+            f'q_activation {name}: mean {d.mean():.3g} max {d.max():.3g}'
+        ra_m = np.frombuffer((mydir / 'q_activation_reorder' /
+                              f'{name}_activation_q_bin').read_bytes(),
+                             np.int8).astype(np.int32)
+        ra_r = np.frombuffer((refout / 'q_activation_reorder' /
+                              f'{name}_activation_q_bin').read_bytes(),
+                             np.int8).astype(np.int32)
+        assert ra_m.shape == ra_r.shape, f'activation_q_bin size {name}'
+        d = np.abs(ra_m - ra_r)
+        assert d.mean() < 1.5 and d.max() < 16, \
+            f'activation_q_bin {name}: mean {d.mean():.3g} max {d.max()}'
+
+    # the first conv sees the identical input -> bit-exact activations
+    qa_m = load(mydir, 'q_activation_out/q_activation_0000_conv.txt')
+    qa_r = load(refout, 'q_activation_out/q_activation_0000_conv.txt')
+    np.testing.assert_array_equal(qa_m, qa_r, err_msg='first-conv activation')
+
+    # --- the upsample post-pass (utils/output_upsample.py Val_upsample,
+    # run by reference detect.py:221): nearest-upsample of the
+    # conv-before-upsample dump + TN reorder + scale copy. The reference
+    # reads geometry from the cfg [net] width/height, so patch them to the
+    # runtime size (its hardcoded 256/upsample_times channel formula holds
+    # for yolov3's two upsamples).
+    import importlib
+    import re
+    from yolo_tpu.compress.fpga_export import upsample_activation_dumps
+    cfgtxt = open(f'/root/reference/cfg/{cfg_rel}').read()
+    cfgtxt = re.sub(r'(?m)^width *= *\d+', f'width={size}', cfgtxt)
+    cfgtxt = re.sub(r'(?m)^height *= *\d+', f'height={size}', cfgtxt)
+    patched = tmp_path / 'patched_size.cfg'
+    patched.write_text(cfgtxt)
+    ref_up = importlib.import_module('utils.output_upsample')
+    ref_up.Val_upsample(str(patched), TN)     # cwd is still refdir
+
+    ups = upsample_activation_dumps(net, outdir=str(mydir), TN=TN)
+    assert len(ups) == 2, 'yolov3 has two upsample layers'
+    for li in ups:
+        rel = f'a_scale_out/{li}_upsample_scale.txt'
+        np.testing.assert_array_equal(load(mydir, rel), load(refout, rel),
+                                      err_msg=rel)
+        rel = f'q_activation_reorder/{li}_upsample_reorder.txt'
+        a, b = load(mydir, rel), load(refout, rel)
+        assert a.shape == b.shape, rel
+        d = np.abs(a - b)
+        assert d.mean() < 1.5 and d.max() < 16, \
+            f'{rel}: mean {d.mean():.3g} max {d.max():.3g}'
+        ub_m = np.frombuffer((mydir / 'q_activation_reorder' /
+                              f'{li}_upsample_q_bin').read_bytes(),
+                             np.int8).astype(np.int32)
+        ub_r = np.frombuffer((refout / 'q_activation_reorder' /
+                              f'{li}_upsample_q_bin').read_bytes(),
+                             np.int8).astype(np.int32)
+        assert ub_m.shape == ub_r.shape, f'{li}_upsample_q_bin size'
+        d = np.abs(ub_m - ub_r)
+        assert d.mean() < 1.5 and d.max() < 16, f'{li}_upsample_q_bin'

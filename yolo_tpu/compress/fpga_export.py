@@ -166,25 +166,27 @@ def dump_quantizer_output(bundle, x=None, outdir='./quantizer_output', *,
 
 
 def collect_activations(bundle, x):
-    """Run the quantized forward collecting each conv layer's post-activation
-    output (first batch element), host-side."""
-    import jax
-    outs = {}
-    net = bundle.net
-    # re-run apply capturing intermediates: cheap approach — evaluate layer by
-    # layer through the float graph is NOT equivalent; instead jit a capture
-    # variant once
-    from .quant import make_quant_apply
+    """Run the quantized forward collecting EVERY conv layer's
+    post-activation output (first batch element), host-side.
 
-    apply = bundle._apply
-    # trace with intermediate capture by monkey-free re-walk: use the
-    # training-mode signature (returns feature maps for Sequential layers)
-    (yolo_p, feats), _, _ = apply(bundle.params, bundle.state, bundle.qstate,
-                                  x, True)
-    conv_idx = [l.index for l in net.layers if l.feature_out]
-    for i, f in zip(conv_idx, feats):
-        outs[i] = np.asarray(f[0])
-    return outs
+    Eval-mode forward: the dump exists for hardware cross-checking and the
+    accelerator runs the deployed (running-stat BN fold) graph — exactly
+    what the reference dumps too (detect.py runs model.eval() before its
+    quantizer_output forward). Uses the capture_trace apply so head convs
+    (excluded from the KD feature_out list) are dumped too, like the
+    reference's per-module dump (quantized_google.py:654-819)."""
+    import jax
+    from .quant import make_quant_apply
+    apply = jax.jit(
+        make_quant_apply(bundle.net, bundle.qcfg,
+                         compute_dtype=bundle.compute_dtype,
+                         capture_trace=True),
+        static_argnums=4)
+    _, _, _, trace = apply(bundle.params, bundle.state, bundle.qstate,
+                           x, False)
+    return {l.index: np.asarray(trace[str(l.index)][0])
+            for l in bundle.net.layers
+            if l.kind in ('conv', 'depthwise')}
 
 
 def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
@@ -251,17 +253,76 @@ def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
     return outdir
 
 
-def upsample_activation_dumps(outdir='./quantizer_output', scale=2):
-    """Offline nearest-upsample of dumped activations for upsample layers
-    (utils/output_upsample.py:9-89)."""
+def dump_input_artifacts(img_hwc, a_bits=8, outdir='./quantizer_output'):
+    """The --maxabsscaler input dumps of reference detect.py:64-107:
+    ``img_input.txt``/``img_bin`` — the raw 0-255 CHW stream; ``q_img_input
+    .txt``/``q_img_bin`` — the (x/256·2-1)·2^(a_bits-1) grid the first conv
+    consumes; ``not0_count.txt`` — positions where the hardware's integer
+    path (x-128) disagrees with the software quantization (identically 0
+    at 8 bits since (x/256·2-1)·128 = x-128 exactly).
+
+    The reference flattens the float CHW tensor and casts with numpy's
+    wrapping int8 conversion; mirrored bit-for-bit (ours arrives HWC,
+    transposed here)."""
+    os.makedirs(outdir, exist_ok=True)
+    img = np.asarray(img_hwc, np.float32).transpose(2, 0, 1).reshape(-1)
+    _write_txt(os.path.join(outdir, 'img_input.txt'), img)
+    _write_bin(os.path.join(outdir, 'img_bin'), img)
+    q_img = (img / 256.0 * 2.0 - 1.0) * float(1 << (a_bits - 1))
+    delt = (img - 128.0) - q_img
+    _write_txt(os.path.join(outdir, 'not0_count.txt'),
+               [int((np.abs(delt) > 0).sum())])
+    _write_txt(os.path.join(outdir, 'q_img_input.txt'), q_img)
+    _write_bin(os.path.join(outdir, 'q_img_bin'), q_img)
+    return outdir
+
+
+def upsample_activation_dumps(net, outdir='./quantizer_output', *, TN=32):
+    """Offline nearest-upsample + TN reorder of the conv-before-upsample
+    activation dumps — the reference's `output_upsample.Val_upsample`
+    (utils/output_upsample.py:9-89), run by detect.py:221 after a
+    `--quantizer_output` forward so the FPGA team gets the upsample
+    layers' expected SRAM streams too.
+
+    The reference hardcodes yolov3 geometry (channels = 256/upsample_times,
+    spatial = cfg-width·upsample_times/32) and silently drops the
+    channel remainder of a partial TN tile; here the channel count comes
+    from the IR and the spatial size from the dump length (square, like
+    the reference assumes), with the same full-tiles-only reorder.
+    Artifacts per upsample layer L (names exactly as the reference):
+    q_activation_reorder/{L}_upsample_reorder.txt, {L}_upsample_q_bin,
+    and a_scale_out/{L}_upsample_scale.txt — a copy of the source conv's
+    shift exponent, since nearest upsampling is scale-preserving."""
     src_dir = os.path.join(outdir, 'q_activation_out')
-    dst_dir = os.path.join(outdir, 'q_activation_upsample')
     if not os.path.isdir(src_dir):
         return None
-    os.makedirs(dst_dir, exist_ok=True)
-    for f in os.listdir(src_dir):
-        arr = np.loadtxt(os.path.join(src_dir, f))
-        np.savetxt(os.path.join(dst_dir, f),
-                   np.repeat(arr.reshape(1, -1), scale, axis=0).reshape(1, -1),
-                   delimiter='\n')
-    return dst_dir
+    rdir = os.path.join(outdir, 'q_activation_reorder')
+    os.makedirs(rdir, exist_ok=True)
+    written = []
+    for lyr in net.layers:
+        if lyr.kind != 'upsample' or lyr.index == 0:
+            continue
+        src = net.layers[lyr.index - 1]
+        if src.kind not in ('conv', 'depthwise'):
+            continue
+        name = f'{src.index:04d}_conv'
+        act_f = os.path.join(src_dir, f'q_activation_{name}.txt')
+        if not os.path.isfile(act_f):
+            continue
+        flat = np.loadtxt(act_f)
+        c = src.filters
+        side = int(round((flat.size // c) ** 0.5))
+        a_chw = flat.reshape(c, side, side)
+        s = int(lyr.stride)
+        up = np.repeat(np.repeat(a_chw, s, axis=1), s, axis=2)
+        ra = reorder_activations(up, TN)
+        _write_txt(os.path.join(rdir, f'{lyr.index}_upsample_reorder.txt'),
+                   ra)
+        _write_bin(os.path.join(rdir, f'{lyr.index}_upsample_q_bin'), ra)
+        scale_f = os.path.join(outdir, 'a_scale_out', f'a_scale_{name}.txt')
+        if os.path.isfile(scale_f):
+            _write_txt(os.path.join(outdir, 'a_scale_out',
+                                    f'{lyr.index}_upsample_scale.txt'),
+                       np.loadtxt(scale_f))
+        written.append(lyr.index)
+    return written

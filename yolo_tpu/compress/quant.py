@@ -407,9 +407,10 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     loss-layout optimization, PERFORMANCE.md). Exposed as
     ``apply.head_layout``.
 
-    ``capture_trace`` appends a {layer_key: output} dict to the train-mode
-    return — the per-layer differential-parity hook used by
-    tests/test_reference_parity.py to bisect against the torch reference.
+    ``capture_trace`` appends a {layer_key: output} dict to the return (in
+    both modes) — the per-layer hook used by the quantizer_output dump
+    (compress/fpga_export.py collect_activations) and for differential
+    bisection against the torch reference.
     """
     layers = net.layers
     sch = cfg.scheme
@@ -707,6 +708,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 ios.append(decode_yolo_nhwc(head_out[yi], lyr.anchors,
                                             lyr.yolo_stride, lyr.no))
                 yi += 1
+        if capture_trace:
+            return jnp.concatenate(ios, axis=1), yolo_p, feats, trace
         return jnp.concatenate(ios, axis=1), yolo_p, feats
 
     apply.head_layout = head_layout

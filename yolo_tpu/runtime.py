@@ -223,6 +223,19 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
             ck = load_checkpoint(weights)
             params = _merge_compatible(params, ck['params'])
             state = _merge_compatible(state, ck['state'])
+            if qstate is not None:
+                # restore quantizer calibration: embedded (QAT training
+                # checkpoints) or the PTQ driver's sibling `_qstate.npz` —
+                # the reference keeps these as state_dict buffers so any
+                # quantized .pt reloads calibrated (quantized_google.py
+                # registered buffers)
+                saved_qs = ck.get('qstate')
+                if saved_qs is None:
+                    qs_path = str(weights)[:-len('.npz')] + '_qstate.npz'
+                    if os.path.exists(qs_path):
+                        saved_qs = load_checkpoint(qs_path)['params']
+                if saved_qs is not None:
+                    qstate = _merge_tree(qstate, saved_qs)
         elif str(weights).endswith(('.pt', '.pth')):
             # reference torch checkpoint, read directly (train.py:160-180)
             from .models.torch_import import load_torch_checkpoint
@@ -240,6 +253,22 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
     return ModelBundle(net=net, params=params, state=state, qstate=qstate,
                        qcfg=qcfg, compute_dtype=compute_dtype,
                        maxabsscaler=maxabsscaler, _apply=apply)
+
+
+def _merge_tree(dst, src):
+    """Recursive shape-checked restore for arbitrarily nested pytrees
+    (quantizer state: {layer: {wq/aq/bq: {scale/min/max/...}}})."""
+    if isinstance(dst, dict) and isinstance(src, dict):
+        out = dict(dst)
+        for k, v in src.items():
+            out[k] = _merge_tree(dst[k], v) if k in dst else jnp.asarray(v)
+        return out
+    if isinstance(dst, (list, tuple)) and isinstance(src, (list, tuple)) \
+            and len(dst) == len(src):
+        return type(dst)(_merge_tree(a, b) for a, b in zip(dst, src))
+    if dst is None or src is None:
+        return dst if src is None else jnp.asarray(src)
+    return jnp.asarray(src) if np.shape(dst) == np.shape(src) else dst
 
 
 def _merge_compatible(dst, src):

@@ -473,6 +473,8 @@ def run_training(opt: TrainOptions):
         if not opt.nosave and is_chief:
             training_results = Path(opt.results_file).read_text() \
                 if os.path.exists(opt.results_file) else ''
+            ck_qstate = None if ts.qstate is None \
+                else jax.device_get(ts.qstate)
             save_checkpoint(last, params=jax.device_get(ts.params),
                             state=jax.device_get(ts.bn_state), epoch=epoch,
                             best_fitness=best_fitness,
@@ -481,13 +483,15 @@ def run_training(opt: TrainOptions):
                             else jax.device_get(ts.opt_state),
                             ema=None if ts.ema is None
                             else jax.device_get(ts.ema.params),
+                            qstate=ck_qstate,
                             extra=None if ts.ema is None
                             else {'ema_updates': int(ts.ema.updates)})
             if best_fitness == fi and not final_epoch:
                 save_checkpoint(best, params=jax.device_get(ts.params),
                                 state=jax.device_get(ts.bn_state),
                                 epoch=epoch, best_fitness=best_fitness,
-                                training_results=training_results)
+                                training_results=training_results,
+                                qstate=ck_qstate)
 
     log(f'{opt.epochs} epochs completed in {(time.time() - t0) / 3600:.3f} '
         f'hours.')

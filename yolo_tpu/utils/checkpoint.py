@@ -59,13 +59,20 @@ def _unflatten(flat: dict):
 
 def save_checkpoint(path, *, params, state, epoch: int = -1,
                     best_fitness: float = 0.0, training_results: str = '',
-                    opt_state: Any = None, ema: Any = None, extra: dict | None = None):
+                    opt_state: Any = None, ema: Any = None,
+                    qstate: Any = None, extra: dict | None = None):
     os.makedirs(os.path.dirname(str(path)) or '.', exist_ok=True)
     payload = {'params': params, 'state': state}
     if opt_state is not None:
         payload['opt_state'] = opt_state
     if ema is not None:
         payload['ema'] = ema
+    if qstate is not None:
+        # quantizer calibration (scales/trackers/BN-fold stats) — the
+        # reference persists these as state_dict buffers in every .pt
+        # (quantized_google.py registered buffers); without them a QAT
+        # checkpoint reloads uncalibrated
+        payload['qstate'] = qstate
     flat = _flatten(payload)
     meta = {'epoch': int(epoch), 'best_fitness': float(best_fitness),
             'training_results': training_results, **(extra or {})}
@@ -90,4 +97,5 @@ def strip_optimizer(path):
     save_checkpoint(path, params=ck['params'], state=ck['state'],
                     epoch=ck.get('epoch', -1),
                     best_fitness=ck.get('best_fitness', 0.0),
-                    training_results=ck.get('training_results', ''))
+                    training_results=ck.get('training_results', ''),
+                    qstate=ck.get('qstate'))
