@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument('--device', type=str, default='',
                    help='accepted for CLI compat; TPU devices are selected '
                         'automatically (JAX_PLATFORMS to override)')
+    p.add_argument('--int8-engine', action='store_true',
+                   help='evaluate on the true-int8 MXU engine (real s8 '
+                        'convs, int8 HBM edges) instead of the fake-quant '
+                        'simulation — the deployed-numerics mAP; requires '
+                        'a calibrated quantized checkpoint')
     opt = p.parse_args(argv)
 
     from yolo_tpu.runtime import load_model
@@ -48,6 +53,21 @@ def main(argv=None):
                         maxabsscaler=opt.maxabsscaler)
     if opt.quantized == -1:
         bundle = bundle.fuse()   # conv+bn fuse for eval (test.py:52-53)
+
+    eval_params, eval_state = bundle.params, bundle.state
+    eval_qapply = bundle._apply if bundle.quantized else None
+    eval_qstate = bundle.qstate
+    if opt.int8_engine:
+        if not bundle.quantized:
+            p.error('--int8-engine requires --quantized {1,2,3}')
+        # same wiring as PTQ.py --int8-engine: freeze the calibration into
+        # an integer plan and evaluate the deployed numerics
+        from yolo_tpu.models.int8_engine import prepare_int8, make_int8_apply
+        plan = prepare_int8(bundle.net, bundle.params, bundle.state,
+                            bundle.qstate, bundle.qcfg)
+        eng = make_int8_apply(bundle.net, plan)
+        eval_params, eval_state, eval_qstate = plan.arrays, {}, None
+        eval_qapply = lambda pa, st, qs, x, train: (*eng(pa, x), [])
 
     if opt.task in ('benchmark', 'study'):
         # benchmark: mAP at sizes 256-512 x IoU {0.6, 0.7} -> benchmark.txt
@@ -71,13 +91,13 @@ def main(argv=None):
         for size in sizes:
             for iou in ious:
                 t0 = time.time()
-                r, _, t = evaluate(bundle.net, bundle.params, bundle.state,
+                r, _, t = evaluate(bundle.net, eval_params, eval_state,
                                    opt.data, batch_size=opt.batch_size,
                                    img_size=size, conf_thres=opt.conf_thres,
                                    iou_thres=iou, fused=(opt.quantized == -1),
                                    single_cls=opt.single_cls,
-                                   quant_apply=bundle._apply if bundle.quantized else None,
-                                   qstate=bundle.qstate)
+                                   quant_apply=eval_qapply,
+                                   qstate=eval_qstate)
                 # row: size, iou, P, R, mAP@0.5, F1, val losses, wall time
                 results.append((size, iou) + tuple(r) + (time.time() - t0,))
         np.savetxt(out_file, np.asarray(results), fmt='%10.4g')
@@ -85,15 +105,15 @@ def main(argv=None):
             print(row)
         return results
 
-    r, maps, t = evaluate(bundle.net, bundle.params, bundle.state, opt.data,
+    r, maps, t = evaluate(bundle.net, eval_params, eval_state, opt.data,
                           batch_size=opt.batch_size, img_size=opt.img_size,
                           conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
                           fused=(opt.quantized == -1),
                           save_json=opt.save_json, verbose=True,
                           single_cls=opt.single_cls,
                           maxabsscaler=opt.maxabsscaler, augment=opt.augment,
-                          quant_apply=bundle._apply if bundle.quantized else None,
-                          qstate=bundle.qstate)
+                          quant_apply=eval_qapply,
+                          qstate=eval_qstate)
     print(f'speed: {t[0]:.3f}s inference+nms total')
     return r
 

@@ -506,3 +506,32 @@ def test_detect_cli_quantizer_output(workspace, tmp_path, monkeypatch):
     # img_bin is the raw CHW byte stream of the first letterboxed frame
     raw = np.frombuffer((qo / 'img_bin').read_bytes(), np.int8)
     assert raw.size == 3 * 64 * 64
+
+
+def test_test_cli_int8_engine(workspace, tmp_path, monkeypatch):
+    """test.py --int8-engine evaluates the calibrated checkpoint on the
+    true-int8 MXU engine (deployed numerics; same wiring as PTQ.py's
+    engine eval) — the qstate restored from PTQ's sibling _qstate.npz."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                  '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4', '--no-eval',
+                  '--out', 'weights/PTQ.npz'])
+
+    import test as test_cli
+    r = test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                       '--data', str(workspace / 'obj.data'),
+                       '--weights', 'weights/PTQ.npz', '--quantized', '3',
+                       '--img-size', '64', '--batch-size', '2',
+                       '--int8-engine'])
+    assert len(r) == 7 and np.isfinite(np.array(r[:4])).all()

@@ -338,3 +338,42 @@ def test_quant_apply_nhwc_layout_matches(toy):
         np.testing.assert_array_equal(np.asarray(a),
                                       np.asarray(jnp.transpose(
                                           n, (0, 3, 1, 2, 4))))
+
+
+def test_fpga_export_tpsq_scales(toy, tmp_path):
+    """TPSQ scales are trainable params (not tracker state); the FPGA
+    exporters must resolve them via search_pow2 with the int8-engine
+    convention — quant step p2/(2^{b-1}-1), dequant shift -log2(p2/2^{b-1})
+    (quantized_TPSQ.py:29-64, 78-118). Before this path existed the export
+    silently wrote scale=1 streams for TPSQ models."""
+    import types
+    from yolo_tpu.compress.fpga_export import (export_fpga_weights,
+                                               _conv_scales)
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='tpsq', a_bits=8, w_bits=8, steps=100)
+    qstate, extra = Q.init_quant_state(net, cfg)
+    p = {k: dict(v) for k, v in params.items()}
+    for k, v in extra.items():
+        p[k] = {**p[k], **v}
+    # move scales off init so the test can distinguish resolved vs default
+    for k in extra:
+        p[k]['w_scale'] = jnp.asarray(3.7)    # search_pow2 -> 4.0
+        p[k]['a_scale'] = jnp.asarray(9.0)    # -> 8.0
+        p[k]['b_scale'] = jnp.asarray(0.6)    # -> 0.5
+    bundle = types.SimpleNamespace(net=net, params=p, state=state,
+                                   qstate=qstate, qcfg=cfg)
+    (ws, wd), (bs_, bd), (as_, ad) = _conv_scales(bundle, '0')
+    assert wd == 4.0 / 128 and ws == 4.0 / 127
+    assert ad == 8.0 / 128 and bd == 0.5 / 128
+
+    out = export_fpga_weights(bundle, outdir=str(tmp_path / 'fx'))
+    w_shift = np.fromfile(f'{out}/w_scale.bin', '<i4')
+    a_shift = np.fromfile(f'{out}/a_scale.bin', '<i4')
+    n_convs = sum(l.kind in ('conv', 'depthwise') for l in net.layers)
+    assert w_shift.shape == (n_convs,)
+    # -log2(4/128) = 5 for every conv; a_scale has the Q7 input prefix
+    assert (w_shift == 5).all()
+    assert a_shift[0] == 7 and (a_shift[1:] == 4).all()
+    # integer stream respects the saturating quant step
+    w8 = np.fromfile(f'{out}/weights.bin', np.int8)
+    assert np.abs(w8).max() <= 127 and np.abs(w8).sum() > 0

@@ -88,6 +88,41 @@ def _write_bin(path, arr, dtype=np.int8):
     np.asarray(arr).astype(dtype).tofile(path)
 
 
+def _conv_scales(bundle, k):
+    """Per-site ((w_step, w_scale), (b_step, b_scale), (a_step, a_scale))
+    for conv layer key ``k`` — *step* quantizes (divide + round), *scale*
+    dequantizes (what hardware multiplies by; the shift files carry its
+    exponent).
+
+    google/ptq_cos: tracker scales from qstate, step == scale.
+    tpsq: trainable pow-2 ranges live in params (search_pow2-projected,
+    quantized_TPSQ.py:29-64); quant step p2/(2^{b-1}-1) saturating at the
+    grid edge, dequant grid p2/2^{b-1} — integer shift by construction,
+    same convention as models/int8_engine.prepare_int8. The reference's
+    own TPSQ dump is unusable for cross-checks (artifacts named by
+    time.time(), raw-Parameter log2, quantized_TPSQ.py:493-515); this is
+    the semantically correct stream for the same hardware contract.
+    Other schemes (dorefa/binary/ternary) have no pow-2 grid: step=scale=1.
+    """
+    cfg = bundle.qcfg
+    if cfg.scheme == 'tpsq':
+        from ..models.int8_engine import _tpsq_p2
+        p = bundle.params[k]
+        wq, wd = (1 << (cfg.w_bits - 1)) - 1, 1 << (cfg.w_bits - 1)
+        aq, ad = (1 << (cfg.a_bits - 1)) - 1, 1 << (cfg.a_bits - 1)
+        p2w, p2b, p2a = (_tpsq_p2(p['w_scale']), _tpsq_p2(p['b_scale']),
+                         _tpsq_p2(p['a_scale']))
+        return ((p2w / wq, p2w / wd), (p2b / wq, p2b / wd),
+                (p2a / aq, p2a / ad))
+    qs = (bundle.qstate or {}).get(k, {})
+
+    def pair(site):
+        s = float(np.asarray(qs.get(site, {}).get('scale', 1.0)))
+        return s, s
+
+    return pair('wq'), pair('bq'), pair('aq')
+
+
 def dump_quantizer_output(bundle, x=None, outdir='./quantizer_output', *,
                           reorder=False, TM=32, TN=32, layer_idx=-1):
     """Dump per-layer quantized weights/biases (+activations if ``x`` given)
@@ -110,14 +145,12 @@ def dump_quantizer_output(bundle, x=None, outdir='./quantizer_output', *,
             continue
         name = f'{lyr.index:04d}_conv'
         w, b = fused[lyr.index]
-        qs = bundle.qstate[str(lyr.index)]
-        w_scale = float(np.asarray(qs['wq']['scale'])) if 'wq' in qs else 1.0
-        b_scale = float(np.asarray(qs['bq']['scale'])) if 'bq' in qs else 1.0
-        a_scale = float(np.asarray(qs['aq']['scale'])) if 'aq' in qs else 1.0
+        ((w_step, w_scale), (b_step, b_scale),
+         (a_step, a_scale)) = _conv_scales(bundle, str(lyr.index))
 
-        q_w = np.clip(np.sign(w / w_scale) * np.floor(np.abs(w / w_scale) + 0.5),
+        q_w = np.clip(np.sign(w / w_step) * np.floor(np.abs(w / w_step) + 0.5),
                       qmin_w, qmax_w)
-        q_b = np.clip(np.sign(b / b_scale) * np.floor(np.abs(b / b_scale) + 0.5),
+        q_b = np.clip(np.sign(b / b_step) * np.floor(np.abs(b / b_step) + 0.5),
                       qmin_w, qmax_w)
         q_w_oihw = q_w.transpose(3, 2, 0, 1)          # HWIO -> OIHW
 
@@ -144,8 +177,8 @@ def dump_quantizer_output(bundle, x=None, outdir='./quantizer_output', *,
 
         if acts is not None and lyr.index in acts:
             a = acts[lyr.index]                        # (h, w, c) float
-            q_a = np.clip(np.sign(a / a_scale) *
-                          np.floor(np.abs(a / a_scale) + 0.5),
+            q_a = np.clip(np.sign(a / a_step) *
+                          np.floor(np.abs(a / a_step) + 0.5),
                           *qrange(cfg.a_bits, True))
             q_a_chw = q_a.transpose(2, 0, 1)
             _write_txt(f'{outdir}/q_activation_out/q_activation_{name}.txt',
@@ -225,13 +258,12 @@ def export_fpga_weights(bundle, outdir='fpga_export', *, reorder=False,
             continue
         if lyr.kind not in ('conv', 'depthwise'):
             continue
-        w_scale = float(np.asarray(qs.get('wq', {}).get('scale', 1.0)))
-        b_scale = float(np.asarray(qs.get('bq', {}).get('scale', 1.0)))
-        a_scale = float(np.asarray(qs.get('aq', {}).get('scale', 1.0)))
+        ((w_step, w_scale), (b_step, b_scale),
+         (a_step, a_scale)) = _conv_scales(bundle, k)
         w, b = fused[lyr.index]
-        q_w = np.clip(np.sign(w / w_scale) * np.floor(np.abs(w / w_scale) + .5),
+        q_w = np.clip(np.sign(w / w_step) * np.floor(np.abs(w / w_step) + .5),
                       qmin, qmax).transpose(3, 2, 0, 1)
-        q_b = np.clip(np.sign(b / b_scale) * np.floor(np.abs(b / b_scale) + .5),
+        q_b = np.clip(np.sign(b / b_step) * np.floor(np.abs(b / b_step) + .5),
                       qmin, qmax)
         if reorder:
             q_w_flat = reorder_weights(q_w, TM, TN,
