@@ -535,3 +535,84 @@ def test_test_cli_int8_engine(workspace, tmp_path, monkeypatch):
                        '--img-size', '64', '--batch-size', '2',
                        '--int8-engine'])
     assert len(r) == 7 and np.isfinite(np.array(r[:4])).all()
+
+
+def test_ema_checkpoint_deploy_contract(workspace, tmp_path, monkeypatch):
+    """best.npz/last.npz ship the EMA weights AND EMA BN-state whose mAP the
+    run reported (reference train.py:551-556 saves ema.ema.state_dict() AS
+    ckpt['model']); load_model prefers that copy, so re-evaluating the
+    reloaded best checkpoint reproduces the best-epoch eval bit-for-bit,
+    while prefer_ema=False (the --resume path) reads the raw trajectory."""
+    monkeypatch.chdir(tmp_path)
+    import yolo_tpu.train.loop as loop_mod
+    from yolo_tpu.train.loop import TrainOptions, run_training
+
+    real_evaluate = loop_mod.evaluate
+    recorded = []
+
+    def spy(net, p, s, data, **k):
+        out = real_evaluate(net, p, s, data, **k)
+        recorded.append((data, dict(k), out))
+        return out
+
+    monkeypatch.setattr(loop_mod, 'evaluate', spy)
+    opt = TrainOptions(
+        cfg=str(workspace / 'toy.cfg'), data=str(workspace / 'obj.data'),
+        epochs=2, batch_size=4, img_size=(64, 64, 64), ema=True,
+        augment=False, log_fn=lambda *a, **k: None)
+    run_training(opt)
+    assert len(recorded) == 2  # per-epoch eval ran on the EMA weights
+    assert os.path.exists('weights/best.npz')
+
+    from yolo_tpu.utils.checkpoint import load_checkpoint
+    for name in ('weights/best.npz', 'weights/last.npz'):
+        ck = load_checkpoint(name)
+        assert ck.get('ema') is not None, name
+        assert ck.get('ema_state') is not None, name
+        # EMA copy differs from the raw trajectory (decay ramp ~5e-4 keeps
+        # it near the init while raw params move)
+        k0 = next(iter(ck['params']))
+        f0 = next(iter(ck['params'][k0]))
+        assert not np.array_equal(ck['params'][k0][f0], ck['ema'][k0][f0])
+
+    from yolo_tpu.runtime import load_model
+    bundle = load_model(str(workspace / 'toy.cfg'), 'weights/best.npz')
+    best_epoch = int(load_checkpoint('weights/best.npz')['epoch'])
+    data, kwargs, (res, maps, _) = recorded[best_epoch]
+    res2, maps2, _ = real_evaluate(bundle.net, bundle.params, bundle.state,
+                                   data, **kwargs)
+    assert res2 == tuple(res), (res2, res)
+    assert np.array_equal(maps2, maps)
+
+    # the raw trajectory stays reachable for --resume
+    raw = load_model(str(workspace / 'toy.cfg'), 'weights/best.npz',
+                     prefer_ema=False)
+    ck = load_checkpoint('weights/best.npz')
+    k0 = next(iter(ck['params']))
+    f0 = next(iter(ck['params'][k0]))
+    assert np.array_equal(np.asarray(raw.params[k0][f0]),
+                          ck['params'][k0][f0])
+    assert np.array_equal(np.asarray(bundle.params[k0][f0]),
+                          ck['ema'][k0][f0])
+
+
+def test_strip_optimizer_promotes_ema(tmp_path, monkeypatch):
+    """strip_optimizer drops the optimizer and promotes the EMA copy to
+    params/state — the stripped artifact matches the reference's deployable
+    best.pt whose 'model' entry is the EMA state_dict."""
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                           strip_optimizer)
+    params = {'0': {'w': np.ones((2, 2), np.float32)}}
+    state = {'0': {'mean': np.zeros(2, np.float32)}}
+    ema = {'0': {'w': np.full((2, 2), 3.0, np.float32)}}
+    ema_state = {'0': {'mean': np.full(2, 5.0, np.float32)}}
+    save_checkpoint('ck.npz', params=params, state=state,
+                    opt_state={'m': np.zeros(2)}, ema=ema,
+                    ema_state=ema_state, epoch=7, best_fitness=0.5)
+    strip_optimizer('ck.npz')
+    ck = load_checkpoint('ck.npz')
+    assert 'opt_state' not in ck and ck.get('ema') is None
+    assert np.array_equal(ck['params']['0']['w'], ema['0']['w'])
+    assert np.array_equal(ck['state']['0']['mean'], ema_state['0']['mean'])
+    assert ck['epoch'] == 7 and ck['best_fitness'] == 0.5

@@ -194,7 +194,7 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
                w_bit: int = 8, shortcut_way: int = 1, steps: int = 0,
                is_gray_scale: bool = False, maxabsscaler: bool = False,
                compute_dtype=jnp.bfloat16, rng=None,
-               pt: bool = False) -> ModelBundle:
+               pt: bool = False, prefer_ema: bool = True) -> ModelBundle:
     """Build + load a detector.
 
     ``quantized``: -1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ (models.py:34-90);
@@ -202,6 +202,11 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
     quantized_dorefa.py modules are defined but never wired into models.py),
     5 binary weights, 6 ternary weights (quantized_lowbit.py).
     ``weights``: .npz checkpoint or darknet .weights (auto-detected).
+    ``prefer_ema``: .npz checkpoints from an --ema training run carry both
+    the raw trajectory (params/state) and the EMA copy (ema/ema_state) whose
+    mAP the run reported. Inference surfaces load the EMA copy — the
+    reference ships the EMA state_dict AS ckpt['model'] (train.py:551-556).
+    Pass False to read the raw trajectory (the --resume path).
     """
     net = build_ir(cfg, is_gray_scale=is_gray_scale)
     params, state = init_params(rng or jax.random.PRNGKey(0), net)
@@ -221,8 +226,13 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
     if weights and weights not in ('None', ''):
         if str(weights).endswith(('.npz',)):
             ck = load_checkpoint(weights)
-            params = _merge_compatible(params, ck['params'])
-            state = _merge_compatible(state, ck['state'])
+            src_params, src_state = ck['params'], ck['state']
+            if prefer_ema and ck.get('ema') is not None:
+                src_params = ck['ema']
+                if ck.get('ema_state') is not None:
+                    src_state = ck['ema_state']
+            params = _merge_compatible(params, src_params)
+            state = _merge_compatible(state, src_state)
             if qstate is not None:
                 # restore quantizer calibration: embedded (QAT training
                 # checkpoints) or the PTQ driver's sibling `_qstate.npz` —

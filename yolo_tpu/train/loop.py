@@ -140,13 +140,17 @@ def run_training(opt: TrainOptions):
     n_train = sum(1 for _ in open(train_path))
     steps = math.ceil(n_train / opt.batch_size) * opt.epochs
 
+    # --resume continues the raw trajectory (the EMA copy is restored
+    # separately below); plain --weights fine-tunes from the deployable EMA
+    # weights, like the reference whose ckpt['model'] IS the EMA state_dict
     bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
                         a_bit=opt.a_bit, w_bit=opt.w_bit,
                         shortcut_way=opt.shortcut_way, steps=steps,
                         is_gray_scale=opt.gray_scale,
                         maxabsscaler=opt.maxabsscaler,
                         compute_dtype=jnp.float32 if opt.quantized != -1
-                        else jnp.bfloat16, pt=opt.pt)
+                        else jnp.bfloat16, pt=opt.pt,
+                        prefer_ema=not opt.resume)
     net = bundle.net
     anchor_vecs = bundle.anchor_vecs()
     loss_hyp = LossHyp.from_dict(hyp, nc=nc)
@@ -254,8 +258,10 @@ def run_training(opt: TrainOptions):
         if 'ema' in ck and ts.ema is not None:
             # restore the decay-ramp counter too — without it the first
             # ema_update would blend the checkpointed EMA away (d ~ 5e-4)
+            ema_state = ck.get('ema_state')
             ts = ts._replace(ema=ts.ema._replace(
                 params=ck['ema'],
+                state=ts.ema.state if ema_state is None else ema_state,
                 updates=jnp.asarray(int(ck.get('ema_updates', 0)), jnp.int32)))
 
     mesh = opt.device_mesh
@@ -475,23 +481,31 @@ def run_training(opt: TrainOptions):
                 if os.path.exists(opt.results_file) else ''
             ck_qstate = None if ts.qstate is None \
                 else jax.device_get(ts.qstate)
+            # both checkpoints ship the EMA params AND EMA BN-state: the
+            # per-epoch eval/fitness above ran on them, so they are the
+            # deployable weights (reference train.py:551-556); load_model
+            # prefers them for inference while params/state stay raw for
+            # --resume
+            ck_ema = None if ts.ema is None else jax.device_get(ts.ema.params)
+            ck_ema_state = None if ts.ema is None \
+                else jax.device_get(ts.ema.state)
+            ck_extra = None if ts.ema is None \
+                else {'ema_updates': int(ts.ema.updates)}
             save_checkpoint(last, params=jax.device_get(ts.params),
                             state=jax.device_get(ts.bn_state), epoch=epoch,
                             best_fitness=best_fitness,
                             training_results=training_results,
                             opt_state=None if final_epoch
                             else jax.device_get(ts.opt_state),
-                            ema=None if ts.ema is None
-                            else jax.device_get(ts.ema.params),
-                            qstate=ck_qstate,
-                            extra=None if ts.ema is None
-                            else {'ema_updates': int(ts.ema.updates)})
+                            ema=ck_ema, ema_state=ck_ema_state,
+                            qstate=ck_qstate, extra=ck_extra)
             if best_fitness == fi and not final_epoch:
                 save_checkpoint(best, params=jax.device_get(ts.params),
                                 state=jax.device_get(ts.bn_state),
                                 epoch=epoch, best_fitness=best_fitness,
                                 training_results=training_results,
-                                qstate=ck_qstate)
+                                ema=ck_ema, ema_state=ck_ema_state,
+                                qstate=ck_qstate, extra=ck_extra)
 
     log(f'{opt.epochs} epochs completed in {(time.time() - t0) / 3600:.3f} '
         f'hours.')

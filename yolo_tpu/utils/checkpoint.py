@@ -60,13 +60,21 @@ def _unflatten(flat: dict):
 def save_checkpoint(path, *, params, state, epoch: int = -1,
                     best_fitness: float = 0.0, training_results: str = '',
                     opt_state: Any = None, ema: Any = None,
-                    qstate: Any = None, extra: dict | None = None):
+                    ema_state: Any = None, qstate: Any = None,
+                    extra: dict | None = None):
     os.makedirs(os.path.dirname(str(path)) or '.', exist_ok=True)
     payload = {'params': params, 'state': state}
     if opt_state is not None:
         payload['opt_state'] = opt_state
     if ema is not None:
+        # the deployable copy: eval/fitness during training run on the EMA
+        # weights (reference train.py:551-556 saves ema.ema.state_dict() AS
+        # the model), so checkpoints must ship them — runtime.load_model
+        # prefers 'ema'/'ema_state' for inference; 'params'/'state' keep the
+        # raw trajectory for --resume
         payload['ema'] = ema
+    if ema_state is not None:
+        payload['ema_state'] = ema_state
     if qstate is not None:
         # quantizer calibration (scales/trackers/BN-fold stats) — the
         # reference persists these as state_dict buffers in every .pt
@@ -91,10 +99,15 @@ def load_checkpoint(path):
 
 
 def strip_optimizer(path):
-    """Remove optimizer/EMA arrays from a checkpoint file in place
-    (utils/utils.py:887-891)."""
+    """Remove optimizer arrays from a checkpoint file in place
+    (utils/utils.py:887-891). The reference checkpoint's 'model' entry IS
+    the EMA state_dict (train.py:551-556), so the stripped artifact keeps
+    the EMA weights: here the EMA copy is promoted to params/state and the
+    raw trajectory dropped — the result is deploy-only, not resumable."""
     ck = load_checkpoint(path)
-    save_checkpoint(path, params=ck['params'], state=ck['state'],
+    params = ck['params'] if ck.get('ema') is None else ck['ema']
+    state = ck['state'] if ck.get('ema_state') is None else ck['ema_state']
+    save_checkpoint(path, params=params, state=state,
                     epoch=ck.get('epoch', -1),
                     best_fitness=ck.get('best_fitness', 0.0),
                     training_results=ck.get('training_results', ''),
