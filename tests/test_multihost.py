@@ -153,3 +153,149 @@ def test_two_process_cli_training(tmp_path):
 
 
 import numpy as np  # noqa: E402  (used by the CLI test)
+
+
+EVAL_WORKER = '''
+import os, sys
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+pid, port, ws = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, %r)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from yolo_tpu.parallel import init_multihost, make_mesh
+init_multihost(f'localhost:{port}', num_processes=2, process_id=pid)
+from yolo_tpu.ir import build_ir
+from yolo_tpu.models.network import init_params
+from yolo_tpu.eval.evaluator import evaluate
+net = build_ir(f'{ws}/toy.cfg')
+params, state = init_params(jax.random.PRNGKey(0), net)
+mesh = make_mesh()                 # (data=2, model=1) spanning both ranks
+res, maps, _ = evaluate(net, params, state, f'{ws}/obj.data',
+                        batch_size=2, img_size=64, mesh=mesh)
+print('EVALRES %%d ' %% pid + ','.join('%%.17g' %% v for v in res) +
+      ' MAPS ' + ','.join('%%.17g' %% v for v in maps), flush=True)
+''' % (REPO,)
+
+
+def test_two_process_sharded_eval_matches_single(tmp_path):
+    """All-rank collective evaluation under multi-host (VERDICT r3 next #2):
+    both ranks drive evaluate(mesh=global_mesh) with their process_shard of
+    the val set; P/R/mAP/F1 (and val losses' positions) equal the
+    single-process evaluation of the same params, and every rank holds the
+    full results (no chief-only device_get round-trip)."""
+    import re
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.eval.evaluator import evaluate
+    from yolo_tpu.data.datasets import DetectionDataset
+
+    ws = ge._make_toy_workspace(str(tmp_path / 'ws'))
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    procs = [subprocess.Popen(
+        [sys.executable, '-c', EVAL_WORKER, str(i), str(port), ws],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=str(tmp_path)) for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+        assert p.returncode == 0, f'rank {i} failed:\n{outs[-1]}'
+
+    got = {}
+    for i in range(2):
+        m = re.search(r'EVALRES %d (\S+) MAPS (\S+)' % i, outs[i])
+        assert m, outs[i]
+        got[i] = ([float(v) for v in m.group(1).split(',')],
+                  [float(v) for v in m.group(2).split(',')])
+    # results replicate to every rank
+    assert got[0] == got[1], got
+
+    # single-process reference: same params (same PRNG seed), square
+    # letterboxing like the multi-host path, sequential image order
+    net = build_ir(f'{ws}/toy.cfg')
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    ds = DetectionDataset(f'{ws}/train.txt', 64, 2, rect=False)
+    res, maps, _ = evaluate(net, params, state, f'{ws}/obj.data',
+                            batch_size=2, img_size=64, dataset=ds)
+    np.testing.assert_allclose(got[0][0], np.asarray(res, np.float64),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(got[0][1], np.asarray(maps, np.float64),
+                               rtol=1e-6, atol=1e-9)
+
+
+TP_TRAIN_WORKER = '''
+import os, sys
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+pid, port, ws, tp = int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]
+sys.path.insert(0, %r)
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import train as train_cli
+train_cli.main([
+    '--cfg', f'{ws}/toy.cfg', '--data', f'{ws}/obj.data',
+    '--epochs', '1', '--batch-size', '4', '--img-size', '64', '64', '64',
+    '--weights', '', '--tp', tp, '--coordinator', f'localhost:{port}',
+    '--num-hosts', '2', '--host-id', str(pid)])
+print(f'TPTRAIN_OK {pid}', flush=True)
+''' % (REPO,)
+
+
+def test_two_process_dp_tp_training(tmp_path):
+    """Multi-host composes with TP (VERDICT r3 next #5): two processes of 2
+    devices each train on a DP(2) x TP(2) mesh spanning DCN; per-batch
+    losses (and the collective per-epoch eval) equal the DP(4)-only
+    two-process run of the same seed and per-host data shards — the
+    multi-host analogue of test_parallel.test_dp_tp_matches_pure_dp."""
+    import re
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+
+    ws = ge._make_toy_workspace(str(tmp_path / 'ws'))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+
+    def run_pair(tag, tp):
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+        procs = []
+        for i in range(2):
+            d = tmp_path / f'{tag}{i}'
+            d.mkdir()
+            procs.append(subprocess.Popen(
+                [sys.executable, '-c', TP_TRAIN_WORKER,
+                 str(i), str(port), ws, str(tp)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                cwd=str(d)))
+        outs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+            assert p.returncode == 0, f'{tag} rank {i} failed:\n{outs[-1]}'
+        return outs
+
+    outs_tp = run_pair('tp', 2)
+    outs_dp = run_pair('dp', 1)
+
+    def losses(txt):
+        return [float(v) for v in re.findall(r'total (\S+)', txt)]
+
+    multi = losses(outs_tp[0])
+    assert multi and multi == losses(outs_tp[1]), (multi, losses(outs_tp[1]))
+    ref = losses(outs_dp[0])
+    assert len(multi) == len(ref), (multi, ref)
+    np.testing.assert_allclose(multi, ref, rtol=2e-4, atol=2e-5)
+    # the collective per-epoch eval ran and printed on rank 0 of both pairs
+    for outs in (outs_tp, outs_dp):
+        assert re.search(r'^\s+all(\s+\S+){6}', outs[0], re.M), outs[0]

@@ -152,6 +152,14 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     size (the loader pads ragged tails to the full batch). Params already
     sharded on this mesh (e.g. a live TrainState) are used in place —
     no host round-trip.
+
+    Multi-host: when the mesh spans several processes, EVERY rank must call
+    evaluate with the same arguments. Each rank feeds its process_shard of
+    the val set (batch_size is global), the jitted step runs SPMD over all
+    chips, outputs all-gather to fully-replicated arrays, and every rank
+    computes the identical full statistics — rank 0 prints. Square
+    letterboxing is forced (rect batching would give ranks different batch
+    shapes, breaking SPMD). save_json is unsupported here.
     """
     from ..runtime import preprocess as _pre   # function-level: avoids cycle
     data_dict = parse_data_cfg(data)
@@ -207,6 +215,22 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         _INFER_CACHE[cache_key] = (infer, net, quant_apply,
                                    anchor_vecs, loss_hyp)
 
+    pc, pi = jax.process_count(), jax.process_index()
+    multiproc = mesh is not None and pc > 1
+    quiet = multiproc and pi != 0
+    if multiproc:
+        # all-rank collective eval (VERDICT r3 next #2): no chief-only
+        # single-device fallback, no full-params host round-trip
+        assert not save_json, 'save_json unsupported under multi-host eval'
+        assert device_match, 'multi-host eval needs the device matcher'
+        assert batch_size % pc == 0, (batch_size, pc)
+        local_bs = batch_size // pc
+        from ..parallel import (allgather_host_values,
+                                global_batch_from_host_batches,
+                                replicated_global)
+    else:
+        local_bs = batch_size
+
     if mesh is not None:
         from ..parallel.mesh import (DATA_AXIS, replicated_sharding,
                                      shard_batch, shard_state)
@@ -217,12 +241,19 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         if state:
             state = shard_state(mesh, net, state)
         _repl = replicated_sharding(mesh)
+    if multiproc:
+        # every rank must read the full (dets, loss, correct) outputs to
+        # build the complete statistics — constrain them replicated (the
+        # all-gather is tiny: max_det boxes per image)
+        infer = jax.jit(infer, out_shardings=_repl)
 
     if loader is None:
         if dataset is None:
-            dataset = DetectionDataset(path, img_size, batch_size, rect=True,
-                                       is_gray_scale=is_gray_scale)
-        loader = BatchLoader(dataset, batch_size)
+            dataset = DetectionDataset(
+                path, img_size, local_bs, rect=not multiproc,
+                is_gray_scale=is_gray_scale,
+                process_shard=(pi, pc) if multiproc else None)
+        loader = BatchLoader(dataset, local_bs)
 
     seen = 0
     stats = []
@@ -230,8 +261,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     coco91 = coco80_to_coco91_class()
     t_inf = t_nms = 0.0
 
-    print(('%20s' + '%10s' * 6) % ('Class', 'Images', 'Targets', 'P', 'R',
-                                   'mAP@0.5', 'F1'))
+    if not quiet:
+        print(('%20s' + '%10s' * 6) % ('Class', 'Images', 'Targets', 'P',
+                                       'R', 'mAP@0.5', 'F1'))
     val_loss = np.zeros(3)
     n_batches = 0
 
@@ -242,6 +274,26 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         # (runtime.preprocess); jitted calls dispatch asynchronously, so the
         # transfer/compute of this batch overlaps the host-side stat work on
         # the previous one (one-batch lookahead below)
+        if multiproc:
+            # global batch = concat of per-rank blocks; targets shift to
+            # global image rows and all-gather so every rank holds the full
+            # label set for its (replicated) statistics pass
+            tgt = np.array(tgt, np.float32)
+            tgt[:, 0] += pi * local_bs
+            g_tgt = allgather_host_values(tgt).reshape(-1, tgt.shape[-1])
+            g_valid = allgather_host_values(np.asarray(valid)).reshape(-1)
+            g_real = allgather_host_values(
+                np.array([bool(p) for p in paths], bool)).reshape(-1)
+            imgs_in = global_batch_from_host_batches(
+                mesh, np.ascontiguousarray(imgs))
+            tgt_in = replicated_global(mesh, g_tgt)
+            valid_in = replicated_global(mesh, g_valid)
+            x = _pre(imgs_in, maxabsscaler)
+            dets, loss_items, correct_dev = infer(params, state, qstate, x,
+                                                  tgt_in, valid_in)
+            paths = ['host' if r else '' for r in g_real]
+            return (dets, loss_items, correct_dev, g_tgt, g_valid, paths,
+                    [None] * len(paths), imgs.shape[1:3])
         if mesh is not None:
             # uint8 batch sharded over the data axis before the on-device
             # normalise; targets replicate (they index images by batch row,
@@ -353,8 +405,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
 
     nt = int(sum(len(s[3]) for s in stats))
     pf = '%20s' + '%10.3g' * 6
-    print(pf % ('all', seen, nt, mp, mr, map50, mf1))
-    if verbose and nc > 1 and len(ap_class):
+    if not quiet:
+        print(pf % ('all', seen, nt, mp, mr, map50, mf1))
+    if verbose and nc > 1 and len(ap_class) and not quiet:
         for i, c in enumerate(ap_class):
             n_c = int(sum(1 for s in stats for t in s[3] if t == c))
             print(pf % (names[c], seen, n_c, p[i], r[i], ap[i], f1[i]))

@@ -48,3 +48,21 @@ def global_batch_from_host_batches(mesh, host_batch):
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P('data'))
     return jax.make_array_from_process_local_data(sharding, host_batch)
+
+
+def allgather_host_values(value):
+    """Host-side all-gather: every process contributes its local numpy
+    array (equal shapes required) and receives the stacked (pc, ...) result
+    as numpy. Used to replicate per-host eval targets so each rank can
+    compute the full statistics locally (reference rank-0 aggregation)."""
+    from jax.experimental import multihost_utils
+    import numpy as np
+    return np.asarray(multihost_utils.process_allgather(np.asarray(value)))
+
+
+def replicated_global(mesh, value):
+    """Device-put an identical-on-every-host numpy value as a fully
+    replicated global array on a (possibly multi-process) mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), value)

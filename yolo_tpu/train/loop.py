@@ -115,12 +115,18 @@ def run_training(opt: TrainOptions):
     # multi-host (reference train.py:93-107 env-var DDP launch): processes
     # joined by jax.distributed (train.py --coordinator -> init_multihost)
     # each feed their shard of the global batch; the mesh spans all hosts'
-    # devices and XLA routes gradient psums over ICI/DCN. DP-only, like the
-    # reference (its DDP has no TP either).
+    # devices and XLA routes gradient psums over ICI/DCN. Composes with TP
+    # (a 2-D mesh across processes — beyond the reference, whose DDP has
+    # no TP at all).
     pc, pi = jax.process_count(), jax.process_index()
     multihost = pc > 1
     if multihost:
-        assert opt.tp == 1, 'multi-host training is DP-only (set --tp 1)'
+        # DP and TP both compose across hosts: the (data, model) mesh spans
+        # every process's devices (jax.devices() is process-major, so the
+        # model axis stays within a host and TP collectives ride ICI while
+        # DP gradient psums cross DCN)
+        assert jax.local_device_count() % opt.tp == 0, \
+            (jax.local_device_count(), opt.tp)
         assert opt.batch_size % pc == 0, (opt.batch_size, pc)
         assert not opt.image_weights and not opt.rect, \
             'multi-host training uses the plain shuffled sampler'
@@ -279,8 +285,8 @@ def run_training(opt: TrainOptions):
         assert mesh is not None, \
             'multi-host training needs the device mesh (drop --no-mesh; ' \
             'batch size must split over the data axis)'
-        assert local_bs % max(jax.local_device_count(), 1) == 0, \
-            (local_bs, jax.local_device_count())
+        local_dp = max(jax.local_device_count() // opt.tp, 1)
+        assert local_bs % local_dp == 0, (local_bs, local_dp)
     if mesh is not None:
         # DP-replicate + TP-shard conv output channels (parallel/mesh.py);
         # GSPMD propagates the channel sharding and inserts ICI collectives
@@ -423,34 +429,28 @@ def run_training(opt: TrainOptions):
         final_epoch = epoch + 1 == opt.epochs
         eval_params = ts.ema.params if (opt.ema and ts.ema is not None) else ts.params
         eval_state = ts.ema.state if (opt.ema and ts.ema is not None) else ts.bn_state
-        if (not opt.notest or final_epoch) and (is_chief or not multihost):
+        if not opt.notest or final_epoch:
             # evaluate straight from the live TrainState — params keep their
             # mesh shardings (no ~236 MB device->host->device round-trip per
             # epoch) and eval itself shards over the data axis (VERDICT r2
             # missing #2; reference test.py:55-56 nn.DataParallel).
-            # Multi-host: rank 0 evaluates locally on the (replicated)
-            # params — a mesh-collective eval would deadlock the other
-            # ranks, which skip eval like the reference's rank gating.
-            ev_mesh = None if multihost else mesh
-            ev_params, ev_state, ev_qstate = eval_params, eval_state, ts.qstate
-            if multihost:
-                ev_params = jax.device_get(ev_params)
-                ev_state = jax.device_get(ev_state)
-                ev_qstate = None if ts.qstate is None \
-                    else jax.device_get(ts.qstate)
+            # Multi-host: EVERY rank drives the same collective eval with
+            # its process_shard of the val set (evaluator.py multiproc
+            # path) — no chips idle, results replicate to all ranks, rank 0
+            # prints (reference rank gating covers only the artifacts).
             eval_bs = max(opt.batch_size // 4, 1)
-            if ev_mesh is not None:
+            if mesh is not None:
                 from ..parallel.mesh import DATA_AXIS
-                nd = ev_mesh.shape[DATA_AXIS]
+                nd = mesh.shape[DATA_AXIS]
                 eval_bs = -(-eval_bs // nd) * nd
             results, maps, _ = evaluate(
-                net, ev_params, ev_state,
+                net, eval_params, eval_state,
                 opt.data, batch_size=eval_bs,
                 img_size=imgsz_test, is_gray_scale=opt.gray_scale,
                 multi_label=ni > n_burn, maxabsscaler=opt.maxabsscaler,
                 single_cls=opt.single_cls, quant_apply=quant_apply,
-                qstate=ev_qstate, loss_hyp=loss_hyp,
-                anchor_vecs=anchor_vecs, mesh=ev_mesh)
+                qstate=ts.qstate, loss_hyp=loss_hyp,
+                anchor_vecs=anchor_vecs, mesh=mesh)
 
         # TensorBoard scalars + BN-gamma histograms (train.py:530-542)
         if tb is not None:
