@@ -41,6 +41,9 @@ def main(argv=None):
                         'convs, int8 HBM edges) instead of the fake-quant '
                         'simulation — the deployed-numerics mAP; requires '
                         'a calibrated quantized checkpoint')
+    p.add_argument('--no-plot', action='store_true',
+                   help='skip the test_batch0_gt/pred.jpg mosaics '
+                        '(reference test.py:187-193 writes them)')
     opt = p.parse_args(argv)
 
     from yolo_tpu.runtime import load_model
@@ -113,7 +116,7 @@ def main(argv=None):
                           single_cls=opt.single_cls,
                           maxabsscaler=opt.maxabsscaler, augment=opt.augment,
                           quant_apply=eval_qapply,
-                          qstate=eval_qstate)
+                          qstate=eval_qstate, plot=not opt.no_plot)
     print(f'speed: {t[0]:.3f}s inference+nms total')
     return r
 

@@ -285,3 +285,32 @@ def test_coco_to_darknet_converter(tmp_path):
     # loader layout contract: images->labels path substitution
     assert listed[0].replace('images', 'labels') \
         .replace('.jpg', '.txt').endswith('labels/val2017/a.txt')
+
+
+def test_gsutil_sync_commands(monkeypatch):
+    """gsutil wrappers issue the reference's exact transfers
+    (train.py:527-528, 669-670; utils/utils.py:1073-1075) via an
+    injectable runner — mock-tested, no GCS needed."""
+    from yolo_tpu.utils import gsutil
+    calls = []
+    monkeypatch.setattr(gsutil, 'runner', lambda cmd: calls.append(cmd) or 0)
+    gsutil.sync_results('bkt', 'run1', 'res.txt')
+    gsutil.download_evolve('bkt')
+    gsutil.upload_evolve('bkt')
+    gsutil.upload_weights('bkt', 'weights/best.npz')
+    gsutil.sync_results('', 'run1')        # no bucket -> no call
+    gsutil.sync_results('bkt', '')         # no name -> no call
+    assert calls == [
+        ['gsutil', 'cp', 'res.txt', 'gs://bkt/results/resultsrun1.txt'],
+        ['gsutil', 'cp', 'gs://bkt/evolve.txt', 'evolve.txt'],
+        ['gsutil', 'cp', 'evolve.txt', 'gs://bkt/evolve.txt'],
+        ['gsutil', 'cp', 'weights/best.npz', 'gs://bkt/weights'],
+    ]
+
+
+def test_gsutil_runner_survives_missing_binary(tmp_path):
+    """The default runner degrades to a log line when gsutil is absent
+    (zero-egress dev boxes) instead of raising."""
+    from yolo_tpu.utils import gsutil
+    rc = gsutil._run(['gsutil-definitely-not-installed', 'cp', 'a', 'b'])
+    assert rc != 0

@@ -616,3 +616,29 @@ def test_strip_optimizer_promotes_ema(tmp_path, monkeypatch):
     assert np.array_equal(ck['params']['0']['w'], ema['0']['w'])
     assert np.array_equal(ck['state']['0']['mean'], ema_state['0']['mean'])
     assert ck['epoch'] == 7 and ck['best_fitness'] == 0.5
+
+
+def test_train_bucket_sync_and_eval_plots(workspace, tmp_path, monkeypatch):
+    """--bucket + --name upload results.txt per epoch (reference
+    train.py:527-528, mocked runner) and test.py writes the
+    test_batch0_gt/pred.jpg mosaics (reference test.py:187-193)."""
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.utils import gsutil
+    calls = []
+    monkeypatch.setattr(gsutil, 'runner', lambda cmd: calls.append(cmd) or 0)
+    import train as train_cli
+    train_cli.main([
+        '--cfg', str(workspace / 'toy.cfg'),
+        '--data', str(workspace / 'obj.data'),
+        '--epochs', '2', '--batch-size', '4', '--img-size', '64', '64', '64',
+        '--notest', '--bucket', 'mybkt', '--name', 'run7'])
+    assert calls == [['gsutil', 'cp', 'resultsrun7.txt',
+                      'gs://mybkt/results/resultsrun7.txt']] * 2
+
+    import test as test_cli
+    test_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                   '--data', str(workspace / 'obj.data'),
+                   '--weights', 'weights/last.npz',
+                   '--img-size', '64', '--batch-size', '4'])
+    assert os.path.exists('test_batch0_gt.jpg')
+    assert os.path.exists('test_batch0_pred.jpg')

@@ -132,3 +132,47 @@ def test_load_images_dir(synth_ds):
     path, img, img0, cap = items[0]
     assert img.shape[0] == 3  # CHW
     assert img0.ndim == 3
+
+
+def test_cutout_masks_and_label_filter():
+    """cutout (reference utils/datasets.py:718-763): paints grey-noise
+    rectangles in place and drops labels >60% obscured."""
+    import random
+    from yolo_tpu.data.transforms import bbox_ioa, cutout
+
+    # ioa math: half-overlap box
+    ioa = bbox_ioa(np.array([0, 0, 10, 10], np.float32),
+                   np.array([[5, 0, 15, 10], [20, 20, 30, 30]], np.float32))
+    np.testing.assert_allclose(ioa, [0.5, 0.0], atol=1e-6)
+
+    img = np.full((96, 96, 3), 200, np.uint8)
+    labels = np.array([[0, 10, 10, 30, 30], [1, 60, 60, 90, 90]], np.float32)
+    out = cutout(img, labels, rnd=random.Random(0))
+    assert (img != 200).any()               # masks painted
+    assert 0 <= len(out) <= len(labels)     # obscured labels may drop
+    # unpainted pixels untouched
+    assert ((img == 200).all(axis=2) | (img != 200).any(axis=2)).all()
+
+
+def test_dataset_cutout_ud_flip(synth_ds):
+    """cutout + ud_flip wire through DetectionDataset (both off by default,
+    like the reference's disabled flags)."""
+    hyp = {'degrees': 0, 'translate': 0, 'scale': 0, 'shear': 0,
+           'hsv_h': 0, 'hsv_s': 0, 'hsv_v': 0}
+    base = DetectionDataset(synth_ds, img_size=128, augment=True, hyp=hyp,
+                            seed=0)
+    assert not base.cutout and not base.ud_flip
+    ds = DetectionDataset(synth_ds, img_size=128, augment=True, hyp=hyp,
+                          seed=0, cutout=True, ud_flip=True)
+    flipped = painted = False
+    for i in range(len(ds)):
+        img, labels, _, _ = ds[i]
+        assert img.dtype == np.uint8 and img.shape[2] == 3
+        assert (labels[:, 1:] <= 1.0 + 1e-6).all() if len(labels) else True
+        b_img, b_labels, _, _ = base[i]
+        if img.shape == b_img.shape and not np.array_equal(img, b_img):
+            painted = True
+        if len(labels) and len(b_labels) and \
+                not np.allclose(labels[:, 2], b_labels[:, 2], atol=1e-6):
+            flipped = True
+    assert painted   # cutout masks landed on at least one image

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument('--qat-dtype', default='bf16', choices=['bf16', 'f32'],
                    help='QAT conv compute dtype: bf16 (default; quantizer/'
                         'tracker/BN-fold math stays f32) or f32')
+    p.add_argument('--no-qat-bn-fast', dest='qat_bn_fast',
+                   action='store_false', default=True,
+                   help='keep the parallel float BN-stat conv after '
+                        'BN_freeze_step (reference-exact trajectory) '
+                        'instead of switching to the stat-conv-free step')
     p.add_argument('--shortcut_way', type=int, default=1)
     p.add_argument('--maxabsscaler', '-mas', action='store_true')
     p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
@@ -54,8 +59,9 @@ def parse_args(argv=None):
                    help='one hyp-evolution generation: mutate from '
                         'evolve.txt, train (notest/nosave), append result')
     p.add_argument('--bucket', type=str, default='',
-                   help='gsutil bucket for evolve.txt sync (accepted for '
-                        'CLI compat; no-op in zero-egress environments)')
+                   help='gsutil bucket: per-epoch results upload (with '
+                        '--name) and evolve.txt download/merge/upload, '
+                        'reference train.py:527-528, 669-670')
     p.add_argument('--device', type=str, default='',
                    help='accepted for CLI compat; TPU devices are selected '
                         'automatically (JAX_PLATFORMS to override)')
@@ -143,6 +149,11 @@ def main(argv=None):
         from yolo_tpu.config import load_hyp
         from yolo_tpu.train.evolve import mutate_hyp
         opt.notest, opt.nosave = True, True
+        if opt.bucket:
+            # shared-bucket evolution: fetch the fleet's evolve.txt first
+            # (reference train.py:669-670)
+            from yolo_tpu.utils import gsutil
+            gsutil.download_evolve(opt.bucket)
         hyp_override = mutate_hyp(load_hyp(None))
     topt = TrainOptions(
         cfg=opt.cfg, data=opt.data, weights=weights, epochs=opt.epochs,
@@ -151,7 +162,7 @@ def main(argv=None):
         cache_images=opt.cache_images, single_cls=opt.single_cls,
         adam=opt.adam, ema=opt.ema, prune=opt.prune, sparsity=opt.sparsity,
         quantized=opt.quantized, a_bit=opt.a_bit, w_bit=opt.w_bit,
-        qat_dtype=opt.qat_dtype,
+        qat_dtype=opt.qat_dtype, qat_bn_fast=opt.qat_bn_fast,
         shortcut_way=opt.shortcut_way, maxabsscaler=opt.maxabsscaler,
         gray_scale=opt.gray_scale, pt=opt.pt, t_cfg=opt.t_cfg,
         t_weights=opt.t_weights, kd_strategy=opt.KDstr,
@@ -160,12 +171,12 @@ def main(argv=None):
         resume=opt.resume, hyp_override=hyp_override,
         max_targets=opt.max_targets,
         tp=opt.tp, device_mesh=False if opt.no_mesh else None,
-        remat=opt.remat,
+        remat=opt.remat, bucket=opt.bucket, name=opt.name,
         results_file=f'results{opt.name}.txt' if opt.name else 'results.txt')
     results = run_training(topt)
     if opt.evolve:
         from yolo_tpu.train.evolve import print_mutation
-        print_mutation(hyp_override, results)
+        print_mutation(hyp_override, results, bucket=opt.bucket)
     return results
 
 

@@ -380,7 +380,9 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
 def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                      compute_dtype=None, warmup: bool = False,
                      capture_trace: bool = False,
-                     head_layout: str = 'anchor_major'):
+                     head_layout: str = 'anchor_major',
+                     heads_only: bool = False,
+                     bn_frozen: bool = False):
     """Build the quantized apply:
 
     apply(params, state, qstate, x, train=False) ->
@@ -411,7 +413,27 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     both modes) — the per-layer hook used by the quantizer_output dump
     (compress/fpga_export.py collect_activations) and for differential
     bisection against the torch reference.
+
+    ``heads_only``: eval mode returns (head_out, objs) — the raw NHWC
+    head-conv outputs for the sparse-decode NMS (same contract as
+    make_apply(heads_only=True); objs are None here, row mode) instead of
+    materialising the dense (bs, N, 5+nc) io. The built apply also carries
+    ``apply.make_heads_only()`` so the evaluator can derive the sparse
+    twin of a dense apply it was handed.
+
+    ``bn_frozen``: the post-freeze QAT fast path. The reference runs the
+    parallel FLOAT stat conv every training step forever, even though
+    after BN_freeze_step (0.9*steps) the fold reads running stats whose
+    only remaining input is a momentum-0.01 EMA drift
+    (quantized_google.py:325-370). This variant drops the stat conv and
+    holds the running stats exactly where the freeze boundary left them —
+    the standard QAT BN-freeze semantics — roughly halving the step's MXU
+    work. The training loop switches to it at the boundary
+    (train/loop.py, --no-qat-bn-fast restores the bit-parity path).
+    Quantizer trackers/steps still update identically. The built apply
+    carries ``apply.make_bn_frozen()``.
     """
+    assert not (heads_only and capture_trace)
     layers = net.layers
     sch = cfg.scheme
     # deferred: quant_legacy imports fq/pow2_snap from this module
@@ -421,10 +443,12 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         has_bias = not lyr.bn
         stride = lyr.stride_xy or lyr.stride
         if lyr.bn:
+            stat_fold = train and not bn_frozen
             out_f = conv_ops.conv2d(x, p['w'], stride=stride, padding=lyr.pad,
                                     groups=lyr.groups,
-                                    compute_dtype=compute_dtype) if train else None
-            inv, bias, st, qs = _bn_fold(p, st, qs, out_f, train, cfg,
+                                    compute_dtype=compute_dtype) \
+                if stat_fold else None
+            inv, bias, st, qs = _bn_fold(p, st, qs, out_f, stat_fold, cfg,
                                          has_bias=('b' in p))
             w_fold = p['w'] * inv[None, None, None, :]
         else:
@@ -701,6 +725,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 return (yolo_p, feats), new_state, new_q, trace
             return (yolo_p, feats), new_state, new_q
 
+        if heads_only:
+            return head_out, [None] * len(head_out)
         ios = []
         yi = 0
         for lyr in layers:
@@ -713,6 +739,13 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         return jnp.concatenate(ios, axis=1), yolo_p, feats
 
     apply.head_layout = head_layout
+    if not heads_only:
+        apply.make_heads_only = lambda: make_quant_apply(
+            net, cfg, compute_dtype=compute_dtype, heads_only=True)
+    if not bn_frozen:
+        apply.make_bn_frozen = lambda: make_quant_apply(
+            net, cfg, compute_dtype=compute_dtype, head_layout=head_layout,
+            bn_frozen=True)
     return apply
 
 

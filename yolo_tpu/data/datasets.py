@@ -29,8 +29,9 @@ from pathlib import Path
 import cv2
 import numpy as np
 
-from .transforms import (PAD_VALUE, augment_hsv, letterbox, random_affine,
-                         resize_to, xywhn_to_xyxy_pixels, xyxy2xywh_np)
+from .transforms import (PAD_VALUE, augment_hsv, cutout, letterbox,
+                         random_affine, resize_to, xywhn_to_xyxy_pixels,
+                         xyxy2xywh_np)
 
 IMG_FORMATS = ['.bmp', '.jpg', '.jpeg', '.png', '.tif', '.dng']
 VID_FORMATS = ['.mov', '.avi', '.mp4']
@@ -208,7 +209,8 @@ class DetectionDataset:
     def __init__(self, path, img_size=416, batch_size=16, augment=False,
                  hyp=None, rect=False, image_weights=False,
                  cache_images=False, is_gray_scale=False, subset_len=-1,
-                 seed=None, process_shard=None):
+                 seed=None, process_shard=None, cutout=False,
+                 ud_flip=False):
         path = str(Path(path))
         assert os.path.isfile(path), f'File not found {path}'
         with open(path) as f:
@@ -239,6 +241,11 @@ class DetectionDataset:
         self.rect = False if image_weights else rect
         self.mosaic = self.augment and not self.rect
         self.is_gray_scale = is_gray_scale
+        # extra augmentations, disabled by default like the reference
+        # (cutout: utils/datasets.py:718-763 behind a commented call;
+        # ud_flip: :484-488 behind `ud_flip = False`)
+        self.cutout = cutout
+        self.ud_flip = ud_flip
         self.indices = list(range(n))
 
         self.label_files = [
@@ -405,6 +412,11 @@ class DetectionDataset:
                 augment_hsv(img, self.hyp.get('hsv_h', 0),
                             self.hyp.get('hsv_s', 0),
                             self.hyp.get('hsv_v', 0), rnd=self.rnd)
+            if self.cutout:
+                img = np.ascontiguousarray(img)
+                labels = cutout(img,
+                                np.asarray(labels, np.float32).reshape(-1, 5),
+                                rnd=self.rnd)
 
         labels = np.asarray(labels, np.float32).reshape(-1, 5)
         if len(labels):
@@ -416,6 +428,10 @@ class DetectionDataset:
             img = np.fliplr(img)
             if len(labels):
                 labels[:, 1] = 1 - labels[:, 1]
+        if self.augment and self.ud_flip and self.rnd.random() < 0.5:
+            img = np.flipud(img)  # (reference utils/datasets.py:484-488)
+            if len(labels):
+                labels[:, 2] = 1 - labels[:, 2]
 
         if not self.is_gray_scale:
             img = img[:, :, ::-1]  # BGR -> RGB, stays HWC for the TPU

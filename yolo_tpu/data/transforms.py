@@ -153,3 +153,41 @@ def xywhn_to_xyxy_pixels(labels, w, h, padw=0.0, padh=0.0, rw=1.0, rh=1.0):
     out[:, 3] = rw * w * (labels[:, 1] + labels[:, 3] / 2) + padw
     out[:, 4] = rh * h * (labels[:, 2] + labels[:, 4] / 2) + padh
     return out
+
+
+def bbox_ioa(box, boxes):
+    """Intersection of ``box`` (4,) over the AREA of each of ``boxes``
+    (n, 4), xyxy (reference utils/datasets.py:724-741)."""
+    boxes = np.asarray(boxes, np.float32)
+    iw = (np.minimum(box[2], boxes[:, 2]) -
+          np.maximum(box[0], boxes[:, 0])).clip(0)
+    ih = (np.minimum(box[3], boxes[:, 3]) -
+          np.maximum(box[1], boxes[:, 1])).clip(0)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) + 1e-16
+    return iw * ih / area
+
+
+def cutout(image, labels, rnd: random.Random | None = None):
+    """Random-erasing augmentation (reference utils/datasets.py:718-763,
+    https://arxiv.org/abs/1708.04552; disabled by default upstream and
+    here). Paints 31 random grey-noise rectangles in a 1/2 ... 1/32 size
+    pyramid over the image IN PLACE and drops labels whose boxes end up
+    >60% obscured. ``labels`` are (n, 5) [cls, xyxy] pixel rows."""
+    rnd = rnd or random
+    h, w = image.shape[:2]
+    scales = ([0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 +
+              [0.03125] * 16)
+    for s in scales:
+        mask_h = rnd.randint(1, max(int(h * s), 1))
+        mask_w = rnd.randint(1, max(int(w * s), 1))
+        xmin = max(0, rnd.randint(0, w) - mask_w // 2)
+        ymin = max(0, rnd.randint(0, h) - mask_h // 2)
+        xmax = min(w, xmin + mask_w)
+        ymax = min(h, ymin + mask_h)
+        image[ymin:ymax, xmin:xmax] = [rnd.randint(64, 191)
+                                       for _ in range(image.shape[2])]
+        if len(labels) and s > 0.03:
+            ioa = bbox_ioa(np.array([xmin, ymin, xmax, ymax], np.float32),
+                           labels[:, 1:5])
+            labels = labels[ioa < 0.60]
+    return labels

@@ -44,8 +44,17 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
         def fwd(params, state, qstate, x):
             return aug_apply(params, state, x), [], []
     elif quant_apply is not None:
-        def fwd(params, state, qstate, x):
-            return quant_apply(params, state, qstate, x, False)
+        if sparse:
+            # sparse-decode eval for QAT/PTQ fake-quant models (VERDICT r3
+            # next #3): the heads-only twin skips the dense (bs, N, 5+nc)
+            # io materialisation, same as the float and int8-engine paths
+            h_apply = quant_apply.make_heads_only()
+
+            def fwd(params, state, qstate, x):
+                return h_apply(params, state, qstate, x, False)
+        else:
+            def fwd(params, state, qstate, x):
+                return quant_apply(params, state, qstate, x, False)
     else:
         apply = make_apply(net, compute_dtype=compute_dtype, fused=fused,
                            heads_only=sparse)
@@ -111,6 +120,30 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
     return infer
 
 
+def _plot_eval_batch0(batch0, det_list, names):
+    """GT-vs-pred mosaics of the first eval batch -> test_batch0_gt.jpg /
+    test_batch0_pred.jpg (reference test.py:187-193; output_to_target
+    utils/utils.py:1119-1145 converts detections back to target rows)."""
+    try:
+        from ..utils.plots import plot_images
+        imgs, tgt, valid, paths = batch0
+        h, w = imgs.shape[1:3]
+        plot_images(imgs, tgt[valid], paths=paths, names=names,
+                    fname='test_batch0_gt.jpg')
+        rows = []
+        for si, pred in enumerate(det_list[:len(imgs)]):
+            if pred is None:
+                continue
+            for x1, y1, x2, y2, _conf, cls in pred:
+                rows.append([si, int(cls), (x1 + x2) / 2 / w,
+                             (y1 + y2) / 2 / h, (x2 - x1) / w,
+                             (y2 - y1) / h])
+        plot_images(imgs, np.asarray(rows, np.float32).reshape(-1, 6),
+                    paths=paths, names=names, fname='test_batch0_pred.jpg')
+    except Exception as e:        # plotting must never fail an eval
+        print(f'eval batch0 plot failed: {e}')
+
+
 def _xywh2xyxy_np(x):
     y = np.copy(x)
     y[..., 0] = x[..., 0] - x[..., 2] / 2
@@ -127,7 +160,8 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
              max_det=300, top_k=512, iouv=(0.5,), dataset=None,
              maxabsscaler=False, loader=None, progress=True,
              quant_apply=None, qstate=None, loss_hyp=None, anchor_vecs=None,
-             sparse=None, augment=False, device_match=True, mesh=None):
+             sparse=None, augment=False, device_match=True, mesh=None,
+             plot=False):
     """Run mAP evaluation. Returns ((mp, mr, map, mf1, 0, 0, 0), maps, times).
 
     ``net``: NetworkIR; ``params``/``state``: pytrees (pre-fused params with
@@ -185,7 +219,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         # (reference models.py:482-506 augment forward)
         sparse = False
         want_loss = False
-    elif quant_apply is not None:
+    elif quant_apply is not None and not hasattr(quant_apply,
+                                                 'make_heads_only'):
+        # externally-built quant applies without a sparse twin
         sparse = False
 
     # The jitted infer is cached across evaluate() calls: re-tracing +
@@ -260,6 +296,10 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     jdict = []
     coco91 = coco80_to_coco91_class()
     t_inf = t_nms = 0.0
+    # GT-vs-pred plots of the first batch (reference test.py:187-193);
+    # needs the host-local images, so single-process only
+    plot = plot and not multiproc
+    plot_stash: dict = {}
 
     if not quiet:
         print(('%20s' + '%10s' * 6) % ('Class', 'Images', 'Targets', 'P',
@@ -270,6 +310,9 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     def dispatch(batch):
         """Upload + launch one batch; returns device futures (async)."""
         imgs, tgt, valid, paths, shapes = batch
+        if plot and 'batch0' not in plot_stash:
+            plot_stash['batch0'] = (np.asarray(imgs), np.asarray(tgt),
+                                    np.asarray(valid), list(paths))
         # uint8 across host->device, normalised on-device
         # (runtime.preprocess); jitted calls dispatch asynchronously, so the
         # transfer/compute of this batch overlaps the host-side stat work on
@@ -335,6 +378,8 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         t_inf += time.perf_counter() - t0
         val_loss += np.asarray(loss_items)
         n_batches += 1
+        if plot and n_batches == 1:
+            _plot_eval_batch0(plot_stash.pop('batch0'), det_list, names)
 
         tgt = np.asarray(tgt)[np.asarray(valid)]
         for si in range(len(paths)):

@@ -46,9 +46,14 @@ def mutate_hyp(hyp: dict, evolve_file='evolve.txt', rng=None) -> dict:
     return hyp
 
 
-def print_mutation(hyp: dict, results, evolve_file='evolve.txt'):
-    """Append (results, hyp) row, dedupe, keep fitness-sorted
+def print_mutation(hyp: dict, results, evolve_file='evolve.txt',
+                   bucket: str = ''):
+    """Append (results, hyp) row, dedupe, keep fitness-sorted; with a
+    bucket, download/merge/upload the fleet-shared evolve.txt
     (utils/utils.py:1059-1075)."""
+    if bucket:
+        from ..utils import gsutil
+        gsutil.download_evolve(bucket, evolve_file)
     b = '%10.3g' * len(HYP_KEYS) % tuple(hyp[k] for k in HYP_KEYS)
     c = '%10.4g' * len(results) % tuple(results)
     print(f'\nEvolved fitness: {c}\n')
@@ -56,6 +61,9 @@ def print_mutation(hyp: dict, results, evolve_file='evolve.txt'):
         f.write(c + b + '\n')
     x = np.unique(np.loadtxt(evolve_file, ndmin=2), axis=0)
     np.savetxt(evolve_file, x[np.argsort(-fitness(x))], '%10.3g')
+    if bucket:
+        from ..utils import gsutil
+        gsutil.upload_evolve(bucket, evolve_file)
 
 
 def plot_evolution_results(hyp: dict, evolve_file='evolve.txt',
