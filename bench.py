@@ -116,13 +116,18 @@ def main():
     # block_until_ready proved unreliable through the axon tunnel at large bs)
     np.asarray(pipeline(weights, x))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(weights, x)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
-    fps = BS * iters / dt
+    # median of 5 timed blocks: the single-block figure moved ~2% run to
+    # run (BENCH_r03 991.7 vs a best-observed 1008), so the reported number
+    # is the reproducible median, not the best block
+    iters, blocks = 10, 5
+    rates = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipeline(weights, x)
+        np.asarray(out)
+        rates.append(BS * iters / (time.perf_counter() - t0))
+    fps = float(np.median(rates))
 
     print(json.dumps({
         'metric': 'yolov3_608_detect_images_per_sec',

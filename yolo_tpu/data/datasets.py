@@ -155,7 +155,9 @@ class LoadStreams:
     def __init__(self, sources='streams.txt', img_size=416):
         self.mode = 'images'
         self.img_size = img_size
-        if os.path.isfile(sources):
+        if str(sources).endswith('.txt') and os.path.isfile(sources):
+            # a .txt lists one stream URL per line (reference
+            # utils/datasets.py:196-204); any other path/URL is one source
             sources = [x.strip() for x in open(sources).read().splitlines()
                        if x.strip()]
         else:
@@ -177,9 +179,13 @@ class LoadStreams:
         n = 0
         while cap.isOpened():
             n += 1
-            cap.grab()
+            if not cap.grab():
+                break    # EOF (file source) or stream closed: keep the
+                         # last good frame, stop the reader thread
             if n == 4:  # decode every 4th frame
-                _, self.imgs[i] = cap.retrieve()
+                ok, frame = cap.retrieve()
+                if ok:   # keep the last good frame on decode dropouts
+                    self.imgs[i] = frame
                 n = 0
             time.sleep(0.01)
 
