@@ -35,6 +35,10 @@ def main():
     p.add_argument('--qat-dtype', default='bf16', choices=['bf16', 'f32'])
     p.add_argument('--qat-layout', default='nhwc',
                    choices=['nhwc', 'anchor_major'])
+    p.add_argument('--qat-frozen', action='store_true',
+                   help='measure the post-BN-freeze fast step (no parallel '
+                        'float stat conv; train/loop.py switches to it at '
+                        'BN_freeze_step)')
     p.add_argument('--s2d-min-hw', type=int, default=0,
                    help='lower 3x3/s2 convs with input >= this px through '
                         'the space-to-depth rewrite (0 = off)')
@@ -71,7 +75,7 @@ def main():
             net, qcfg,
             compute_dtype=(jnp.float32 if opt.qat_dtype == 'f32'
                            else jnp.bfloat16),
-            head_layout=opt.qat_layout)
+            head_layout=opt.qat_layout, bn_frozen=opt.qat_frozen)
 
     kd_fn = None
     if opt.kd:
@@ -128,6 +132,7 @@ def main():
     dt = time.perf_counter() - t0
     n_img = bs * opt.accum
     mode = (f'q{opt.quantized}/{opt.qat_dtype}/{opt.qat_layout}'
+            + ('/frozen' if opt.qat_frozen else '')
             if opt.quantized != -1 else
             f'kd{opt.kd}' if opt.kd else 'float')
     print(f'train [{mode}] bs={bs} size={opt.size} accum={opt.accum}: '
