@@ -103,10 +103,11 @@ def parse_args(argv=None):
     p.add_argument('--t_weights', type=str, default='')
     p.add_argument('--KDstr', type=int, default=1, help='KD strategy 1-5')
     p.add_argument('--kd5-mask', '--kd5_mask', dest='kd5_mask', type=str,
-                   default='rect', choices=['rect', 'diag'],
-                   help="KD5 fine-grained mask: 'rect' full cell footprint "
-                        "(fixed) | 'diag' reference-bit-compatible diagonal "
-                        "(utils/utils.py:590-596)")
+                   default='diag', choices=['rect', 'diag'],
+                   help="KD5 fine-grained mask: 'diag' (default) is "
+                        "bit-compatible with the reference's diagonal "
+                        "expansion artifact (utils/utils.py:590-596); "
+                        "'rect' opts into the fixed full-cell footprint")
     p.add_argument('--notest', action='store_true')
     p.add_argument('--nosave', action='store_true')
     p.add_argument('--name', type=str, default='')

@@ -301,7 +301,7 @@ def failure_case_loss_fm(masks, imgs, targets, valid):
 def make_kd_loss_fn(strategy: int, teacher_apply, t_params, t_state, nc: int,
                     anchor_vecs, img_size: int = 416,
                     strides: Sequence[int] = (32, 16, 8),
-                    kd5_mask: str = 'rect', layout: str = 'anchor_major'):
+                    kd5_mask: str = 'diag', layout: str = 'anchor_major'):
     """Build the kd_loss_fn hook for make_train_functions (train.py:389-435).
 
     The teacher forward runs inside the jitted student step (eval-mode,

@@ -66,9 +66,11 @@ class TrainOptions:
     t_cfg: str = ''                          # teacher cfg (KD)
     t_weights: str = ''
     kd_strategy: int = 1
-    kd5_mask: str = 'rect'                   # 'rect' (fixed footprint) |
-                                             # 'diag' (reference-compat,
-                                             # utils/utils.py:590-596)
+    kd5_mask: str = 'diag'                   # 'diag' (default: reference-
+                                             # bit-compatible diagonal,
+                                             # utils/utils.py:590-596) |
+                                             # 'rect' (opt-in fixed full-
+                                             # cell footprint improvement)
     notest: bool = False
     nosave: bool = False
     weights_dir: str = 'weights'
