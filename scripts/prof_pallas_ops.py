@@ -142,13 +142,17 @@ def main():
                f'{t_bf:7.2f} {flops / (t_bf * 1e-3) / BF16_PEAK:4.0%} '
                f'{t_s8:7.2f} {flops / (t_s8 * 1e-3) / INT8_PEAK:4.0%}')
         for f in folds:
+            # 'fold' or 'fold:tile_co' (e.g. none:512 widens the Cout tile)
+            fname, _, tco = f.partition(':')
+            tco = int(tco) if tco else None
             if supported(k, s, k // 2, 1):
                 try:
                     t_pl = timeit(
-                        lambda a, ww, bb, _f=f, _s=s: fused_conv_int8(
+                        lambda a, ww, bb, _f=fname, _s=s, _t=tco:
+                        fused_conv_int8(
                             a, ww, bb, np.float32(2 ** -9),
                             np.float32(2 ** -4), stride=_s, act='leaky',
-                            fold=_f),
+                            fold=_f, tile_co=_t),
                         x8, w8, bf)
                     row += (f' {t_pl:7.2f} '
                             f'{flops / (t_pl * 1e-3) / INT8_PEAK:4.0%}')

@@ -90,6 +90,45 @@ def test_parity_fold_full(case):
         np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.parametrize('case', FOLD_CASES, ids=lambda c: f'{c[5]}x{c[5]}s'
+                         f'{c[6]}_{c[3]}to{c[4]}_{c[7]}')
+def test_parity_fold_kx(case):
+    """The kx-fold variant (k scratch stores, k dots at k*Cin contraction
+    depth) must match the tap-sum path bit for bit."""
+    n, h, w, ci, co, k, s, act, out_q = case
+    rng = np.random.RandomState(2)
+    x8 = jnp.asarray(rng.randint(-128, 128, (n, h, w, ci)), jnp.int8)
+    w8 = jnp.asarray(rng.randint(-40, 41, (k, k, ci, co)), jnp.int8)
+    bias = jnp.asarray(rng.randn(co).astype(np.float32))
+    scale, oscale = np.float32(2 ** -9), np.float32(2 ** -4)
+    got = np.asarray(fused_conv_int8(x8, w8, bias, scale, oscale, stride=s,
+                                     act=act, out_q=out_q, interpret=True,
+                                     fold='kx'))
+    want = np.asarray(_ref(x8, w8, bias, scale, oscale, s, act, out_q))
+    assert got.shape == want.shape
+    if out_q:
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.parametrize('tco', [256, 512])
+def test_parity_wide_tile_co(tco):
+    """tile_co wider than the 128 default (whole-Cout weight residency for
+    the deep low-resolution shapes) is bit-identical to the tiled path."""
+    rng = np.random.RandomState(3)
+    n, h, w, ci, co = 1, 10, 10, 128, 512
+    x8 = jnp.asarray(rng.randint(-128, 128, (n, h, w, ci)), jnp.int8)
+    w8 = jnp.asarray(rng.randint(-40, 41, (3, 3, ci, co)), jnp.int8)
+    bias = jnp.asarray(rng.randn(co).astype(np.float32))
+    scale, oscale = np.float32(2 ** -9), np.float32(2 ** -4)
+    got = np.asarray(fused_conv_int8(x8, w8, bias, scale, oscale, stride=1,
+                                     act='leaky', interpret=True,
+                                     tile_co=tco))
+    want = np.asarray(_ref(x8, w8, bias, scale, oscale, 1, 'leaky', True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_supported_predicate():
     assert supported(3, 1, 1, 1) and supported(3, 2, 1, 1)
     assert supported(1, 1, 0, 1)

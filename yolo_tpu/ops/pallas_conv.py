@@ -61,6 +61,14 @@ isolated int8 MXU efficiency does rise with contraction depth (47% at
 windows cost more than the shallow dots save — fold='full' is net slower
 at every yolov3 shape, so it stays a parity-tested negative result, not a
 backend.
+
+fold='kx' and tile_co (opt-in, r4): the two levers between 'none' and
+'full' — fold only the kx taps (k scratch stores, k dots at k*Cin
+contraction) and widen the Cout tile to whole-Cout weight residency.
+Measured on v5e (2026-08-19, PERFORMANCE.md §SoL #7): both lose to XLA's
+s8 emitter on every deep yolov3 shape (38px 3x3: 3.06-3.71 ms across
+variants vs 2.53 XLA); the kx fold's deeper dots never pay for their
+sublane-shifted stores. Parity-locked negatives, like 'full'.
 """
 
 from __future__ import annotations
@@ -92,14 +100,15 @@ def _vmem_est(d: int, w_t: int, tile_co: int, cin: int, w_alloc: int,
     (lane 128 / sublane 8 f32, 32 int8) tile units: pipelined input slabs
     (x2) plus the in-kernel halo concat, two output buffers, the s32
     accumulator, and ~two tap-window temporaries (the im2col concat for the
-    fold variants)."""
+    fold variants; 'kx' im2cols all d+k-1 rows once)."""
     co_p = _round_up(tile_co, 128)
     cin_p = _round_up(cin, 128)
     n_win = {'full': k * k, 'kx': k}.get(fold, 1)
+    d_win = d + k - 1 if fold == 'kx' else d
     slab = (d + k - 1) * _round_up(w_alloc, 32) * cin_p           # int8
     out = d * _round_up(w_t, 32) * co_p                           # int8
     acc = d * _round_up(w_t, 8) * co_p * 4                        # s32
-    win = d * _round_up(w_t, 32) * _round_up(n_win * cin, 128)    # int8
+    win = d_win * _round_up(w_t, 32) * _round_up(n_win * cin, 128)  # int8
     return 3 * slab + 2 * out + acc + 2 * win
 
 
@@ -125,7 +134,7 @@ def _kernel(scale_ref, oinv_ref, x_ref, *rest, k: int, tile_h: int,
             maxabs: bool, out_q: bool, qmin: int, qmax: int, out_dtype,
             fold: str = 'none'):
     halo = rest[:n_halo]            # n_halo x (1, 1, w_alloc, cin) row blocks
-    if fold == 'full' and k > 1:
+    if fold in ('full', 'kx') and k > 1:
         w_ref, b_ref, o_ref, im_ref = rest[n_halo:n_halo + 4]
     else:
         w_ref, b_ref, o_ref = rest[n_halo:n_halo + 3]
@@ -133,7 +142,22 @@ def _kernel(scale_ref, oinv_ref, x_ref, *rest, k: int, tile_h: int,
         xv = jnp.concatenate([x_ref[0]] + [h[0] for h in halo], axis=0)
     else:
         xv = x_ref[0]                              # (tile_h+k-1, w_alloc, cin)
-    if fold == 'full' and k > 1:
+    if fold == 'kx' and k > 1:
+        # fold only the kx taps into the lane (contraction) dim: k scratch
+        # stores over all tile_h+k-1 rows (vs full's k*k over tile_h), then
+        # k dots at k*Cin contraction depth — the middle point between the
+        # k*k shallow dots (fold='none') and the one k*k*Cin dot whose
+        # scratch stores were measured net-negative (fold='full').
+        for kx in range(k):
+            im_ref[:, :, kx * cin:(kx + 1) * cin] = xv[:, kx:kx + w_t]
+        acc = jnp.zeros((tile_h, w_t, tile_co), jnp.int32)
+        for ky in range(k):
+            acc = acc + jax.lax.dot_general(
+                im_ref[ky:ky + tile_h],
+                w_ref[ky].reshape(k * cin, tile_co),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+    elif fold == 'full' and k > 1:
         # im2col the K*K window stack into the lane (contraction) dim via a
         # VMEM scratch (a direct lane concat of sublane-shifted windows is
         # unsupported: "offset mismatch on non-concat dimension"), then ONE
@@ -195,17 +219,23 @@ def _space_to_depth_conv(x8, w8):
 
 @functools.partial(
     jax.jit, static_argnames=('stride', 'act', 'maxabs', 'out_q', 'bits',
-                              'interpret', 'fold'))
+                              'interpret', 'fold', 'tile_co'))
 def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
                     act: str = 'leaky', maxabs: bool = False,
                     out_q: bool = True, bits: int = 8,
-                    interpret: bool = False, fold: str = 'none'):
+                    interpret: bool = False, fold: str = 'none',
+                    tile_co: int | None = None):
     """Quantized conv: int8 NHWC x int8 HWIO -> int8 (or f32) NHWC.
 
     y = act(conv_s32(x8, w8) * scale + bias); out_q: requantize to
     ``out_scale`` (round half away, saturate to the ``bits`` range).
 
     scale / out_scale are scalar (per-tensor) f32; bias is f32[Cout].
+
+    ``tile_co``: output-channel tile width (default TILE_CO_MAX=128).
+    Wider tiles mean fewer weight reloads and a wider MXU N dim per dot —
+    worth trying on the deep low-resolution shapes whose whole row slab
+    fits VMEM at tile_co=Cout.
     """
     n, h, w, cin = x8.shape
     k, _, _, cout = w8.shape
@@ -224,7 +254,7 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
         w_eff, k_eff, cin_eff = w8, k, cin
 
     # pad Cout up to the tile; zero channels are sliced off below
-    tile_co = min(cout, TILE_CO_MAX)
+    tile_co = min(cout, tile_co if tile_co else TILE_CO_MAX)
     co_pad = -cout % tile_co
     if co_pad:
         w_eff = jnp.pad(w_eff, ((0, 0),) * 3 + ((0, co_pad),))
@@ -239,7 +269,7 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
         x_eff = jnp.pad(x_eff, ((0, 0), (0, 0),
                                 (0, w_alloc - x_eff.shape[2]), (0, 0)))
 
-    if fold not in ('none', 'full'):
+    if fold not in ('none', 'full', 'kx'):
         raise ValueError(f'unknown fold mode {fold!r}')
     if k_eff == 1 or cin_eff % 128:
         # 1x1 is already one deep dot; misaligned Cin would make the im2col
@@ -312,9 +342,12 @@ def fused_conv_int8(x8, w8, bias, scale, out_scale, *, stride: int,
             lambda i, j: (i // n_hb, i % n_hb, 0, j),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_t, cout_p), out_dtype),
-        scratch_shapes=([pltpu.VMEM((tile_h, w_t, k_eff * k_eff * cin_eff),
-                                    jnp.int8)]
-                        if fold == 'full' and k_eff > 1 else []),
+        scratch_shapes=(
+            [pltpu.VMEM((tile_h, w_t, k_eff * k_eff * cin_eff), jnp.int8)]
+            if fold == 'full' and k_eff > 1 else
+            [pltpu.VMEM((tile_h + k_eff - 1, w_t, k_eff * cin_eff),
+                        jnp.int8)]
+            if fold == 'kx' and k_eff > 1 else []),
         interpret=interpret,
     )(scale2, oinv2, *x_args, w_eff,
       bias.astype(jnp.float32).reshape(1, -1))
