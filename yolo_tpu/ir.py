@@ -214,6 +214,12 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
                  else i - 1)
             if 0 <= j < len(layers) and layers[j].kind == 'conv':
                 layers[j].smart_bias = True
+            # yolo 'from' = all scales' head maps (reference models.py:316
+            # `layers=`, consumed only by the dead ASFF branch :381-399).
+            # Recorded + routed so make_apply(asff=True) can fuse them.
+            if 'from' in mdef:
+                lyr.layers = tuple(_abs_index(i, v) for v in mdef['from'])
+                routs.update(lyr.layers)
         else:
             raise ValueError(f'Unrecognized layer type: {kind}')
 
@@ -239,7 +245,13 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
         elif lyr.kind in ('route', 'scale_channels'):
             f = factor[lyr.layers[0]] if lyr.layers and lyr.layers[0] < i else prev_f
         elif lyr.kind == 'yolo':
-            lyr.yolo_stride = prev_f
+            # ASFF cfgs trail ALL yolo blocks after the last head conv, so
+            # the walk predecessor's stride is wrong for every scale but
+            # the finest; each scale decodes on its own `from=` source map
+            # (subsumes the reference's hardcoded stride[yolo_index]).
+            src = (lyr.layers[lyr.yolo_index]
+                   if lyr.yolo_index < len(lyr.layers) else -1)
+            lyr.yolo_stride = factor[src] if 0 <= src < i else prev_f
         factor[i] = f
         prev_f = f
 

@@ -153,6 +153,37 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
     else:
         tag = lambda t: t
 
+    # ASFF (reference models.py:381-399, hardcoded-dead upstream): a yolo
+    # block with `from=` head layers whose maps carry na*no + nl channels
+    # fuses all scales — per-pixel sigmoid weights from this scale's last
+    # nl channels, other scales bilinear-resized (align_corners=False ==
+    # antialias-off half-pixel). cfg/yolov3/yolov3-asff.cfg ships exactly
+    # this layout (258 = 3*85 + 3), which the reference cannot run at all
+    # (ASFF=False crashes reshaping 258ch to 3*85); here it just works.
+    asff_yolo = set()
+    for lyr in layers:
+        if (lyr.kind == 'yolo' and len(lyr.layers) >= 2
+                and all(0 <= j < lyr.index
+                        and layers[j].filters
+                        == lyr.na * lyr.no + len(lyr.layers)
+                        for j in lyr.layers)):
+            asff_yolo.add(lyr.index)
+
+    def asff_fuse(outs, lyr):
+        srcs = [outs[j].astype(jnp.float32) for j in lyr.layers]
+        n, i = len(srcs), lyr.yolo_index
+        p = srcs[i]
+        w = jax.nn.sigmoid(p[..., -n:]) * (2.0 / n)    # models.py:390
+        fused = p[..., :-n] * w[..., i:i + 1]
+        bs, ny, nx, _ = p.shape
+        for j, s in enumerate(srcs):
+            if j != i:
+                r = jax.image.resize(s[..., :-n],
+                                     (bs, ny, nx, s.shape[-1] - n),
+                                     method='bilinear', antialias=False)
+                fused = fused + w[..., j:j + 1] * r
+        return fused
+
     # head conv index -> (na, no) for yolo layers that consume the
     # immediately preceding conv's output (darknet cfgs always do)
     head_meta = {}
@@ -162,7 +193,8 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
             if lyr.kind != 'yolo' or i == 0:
                 continue
             hc = layers[i - 1]
-            if (hc.kind == 'conv' and hc.groups == 1
+            if (lyr.index not in asff_yolo   # obj lives in the FUSED map
+                    and hc.kind == 'conv' and hc.groups == 1
                     and hc.activation in ('linear', None)
                     and (fused or not hc.bn)):
                 head_meta[hc.index] = (lyr.na, lyr.no)
@@ -294,13 +326,15 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                 pass  # reorg3d is a reference no-op; dropout is inference-identity
 
             elif lyr.kind == 'yolo':
+                hmap = (asff_fuse(outs, lyr) if lyr.index in asff_yolo
+                        else prev)
                 if head_layout == 'nhwc':
-                    bs_, ny_, nx_, _ = prev.shape
-                    p_raw = prev.reshape(bs_, ny_, nx_, lyr.na, lyr.no)
+                    bs_, ny_, nx_, _ = hmap.shape
+                    p_raw = hmap.reshape(bs_, ny_, nx_, lyr.na, lyr.no)
                 else:
-                    p_raw = reshape_pred(prev, lyr.na, lyr.no)
+                    p_raw = reshape_pred(hmap, lyr.na, lyr.no)
                 yolo_p.append(p_raw)
-                head_out.append(prev)   # NHWC conv output for transpose-free decode
+                head_out.append(hmap)   # NHWC conv output for transpose-free decode
                 obj_out.append(pending_obj.get(obj_src.get(lyr.index, -1)))
                 # prev intentionally unchanged (models.py:534-535)
 
