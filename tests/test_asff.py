@@ -109,6 +109,22 @@ def test_asff_cfg_runs_end_to_end():
     assert [p.shape[-1] for p in tp] == [85, 85, 85]
 
 
+def test_asff_sparse_infer_matches_dense(tmp_path):
+    """The sparse-decode NMS pipeline (the TPU serving default) handles
+    fused ASFF heads: heads_only returns the fused maps, and the row-mode
+    candidate ranker reads the obj logit from the fused layout — output
+    must equal the dense io pipeline."""
+    from yolo_tpu.runtime import load_model
+
+    bundle = load_model(str(_write_toy_asff_cfg(tmp_path)))
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    dense_fn = bundle.make_infer(conf_thres=0.2, max_det=16, sparse=False)
+    sparse_fn = bundle.make_infer(conf_thres=0.2, max_det=16, sparse=True)
+    d, s = np.asarray(dense_fn(x)), np.asarray(sparse_fn(x))
+    assert d.shape == s.shape == (2, 16, 6)
+    np.testing.assert_allclose(s, d, rtol=1e-4, atol=1e-4)
+
+
 def test_asff_loss_gradients_reach_every_head(tmp_path):
     """compute_loss on ANY single fused scale back-propagates into ALL
     three head convs (each scale's map is a weighted sum of every head) —
