@@ -619,9 +619,10 @@ def test_strip_optimizer_promotes_ema(tmp_path, monkeypatch):
 
 
 def test_train_bucket_sync_and_eval_plots(workspace, tmp_path, monkeypatch):
-    """--bucket + --name upload results.txt per epoch (reference
-    train.py:527-528, mocked runner) and test.py writes the
-    test_batch0_gt/pred.jpg mosaics (reference test.py:187-193)."""
+    """--bucket + --name upload results.txt per epoch plus the final
+    last/best checkpoints (reference train.py:527-528, 585-587, mocked
+    runner), --cutout/--ud-flip plumb through the CLI, and test.py writes
+    the test_batch0_gt/pred.jpg mosaics (reference test.py:187-193)."""
     monkeypatch.chdir(tmp_path)
     from yolo_tpu.utils import gsutil
     calls = []
@@ -631,9 +632,14 @@ def test_train_bucket_sync_and_eval_plots(workspace, tmp_path, monkeypatch):
         '--cfg', str(workspace / 'toy.cfg'),
         '--data', str(workspace / 'obj.data'),
         '--epochs', '2', '--batch-size', '4', '--img-size', '64', '64', '64',
-        '--notest', '--bucket', 'mybkt', '--name', 'run7'])
-    assert calls == [['gsutil', 'cp', 'resultsrun7.txt',
-                      'gs://mybkt/results/resultsrun7.txt']] * 2
+        '--notest', '--bucket', 'mybkt', '--name', 'run7',
+        '--cutout', '--ud-flip'])
+    results_up = ['gsutil', 'cp', 'resultsrun7.txt',
+                  'gs://mybkt/results/resultsrun7.txt']
+    assert calls[:2] == [results_up] * 2
+    assert calls[2:] == [['gsutil', 'cp', os.path.join('weights', ck),
+                          'gs://mybkt/weights']
+                         for ck in ('last.npz', 'best.npz')]
 
     import test as test_cli
     test_cli.main(['--cfg', str(workspace / 'toy.cfg'),

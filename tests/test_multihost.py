@@ -68,7 +68,10 @@ def test_two_process_distributed_smoke(tmp_path):
 
 def test_dataset_process_shard_partition(tmp_path):
     """DetectionDataset(process_shard=...) partitions the image list into
-    disjoint equal-length per-host shards (DistributedSampler equivalent)."""
+    equal-length per-host shards (DistributedSampler equivalent): ranks pad
+    to the common ceil length by wrapping their OWN shard (never dropping
+    tail images), and the wrapped duplicates report an empty path so the
+    evaluator excludes them from statistics."""
     import sys as _sys
     _sys.path.insert(0, REPO)
     import __graft_entry__ as ge
@@ -76,10 +79,20 @@ def test_dataset_process_shard_partition(tmp_path):
 
     ws = ge._make_toy_workspace(str(tmp_path / 'ws'), n_images=9)
     shards = [DetectionDataset(f'{ws}/train.txt', 64, 2,
-                               process_shard=(i, 2)).img_files
+                               process_shard=(i, 2))
               for i in range(2)]
-    assert len(shards[0]) == len(shards[1]) == 4   # 9 // 2, equalised
-    assert not set(shards[0]) & set(shards[1])
+    files = [s.img_files for s in shards]
+    assert len(files[0]) == len(files[1]) == 5   # ceil(9 / 2), equalised
+    assert not set(files[0]) & set(files[1])     # disjoint shards
+    # every source image is covered (nothing truncated)
+    with open(f'{ws}/train.txt') as f:
+        all_files = set(f.read().splitlines())
+    assert set(files[0]) | set(files[1]) == all_files
+    # rank 1 holds 4 real images + 1 wrap duplicate with an empty path
+    reals = [[s.path_of(i) for i in range(5)] for s in shards]
+    assert all(reals[0]) and files[0] == reals[0]
+    assert reals[1][:4] == files[1][:4] and reals[1][4] == ''
+    assert files[1][4] == files[1][0]            # wraps its own shard
 
 
 TRAIN_WORKER = '''
@@ -183,7 +196,9 @@ def test_two_process_sharded_eval_matches_single(tmp_path):
     both ranks drive evaluate(mesh=global_mesh) with their process_shard of
     the val set; P/R/mAP/F1 (and val losses' positions) equal the
     single-process evaluation of the same params, and every rank holds the
-    full results (no chief-only device_get round-trip)."""
+    full results (no chief-only device_get round-trip). The val set is
+    deliberately NOT divisible by the process count: the tail image rides a
+    shard-pad wrap slot and must still be counted exactly once."""
     import re
     import sys as _sys
     _sys.path.insert(0, REPO)
@@ -194,7 +209,7 @@ def test_two_process_sharded_eval_matches_single(tmp_path):
     from yolo_tpu.eval.evaluator import evaluate
     from yolo_tpu.data.datasets import DetectionDataset
 
-    ws = ge._make_toy_workspace(str(tmp_path / 'ws'))
+    ws = ge._make_toy_workspace(str(tmp_path / 'ws'), n_images=5)
     with socket.socket() as s:
         s.bind(('localhost', 0))
         port = s.getsockname()[1]

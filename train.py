@@ -120,6 +120,13 @@ def parse_args(argv=None):
     p.add_argument('--device-aug', action='store_true',
                    help='run mosaic/affine/HSV/flip on the TPU '
                         '(host decodes + letterboxes only)')
+    p.add_argument('--cutout', action='store_true',
+                   help='cutout augmentation (off by default, like the '
+                        'reference utils/datasets.py:718-763)')
+    p.add_argument('--ud-flip', '--ud_flip', dest='ud_flip',
+                   action='store_true',
+                   help='random vertical flip (off by default, like the '
+                        'reference utils/datasets.py:486-488)')
     return p.parse_args(argv)
 
 
@@ -169,6 +176,7 @@ def main(argv=None):
         t_weights=opt.t_weights, kd_strategy=opt.KDstr,
         kd5_mask=opt.kd5_mask, notest=opt.notest,
         nosave=opt.nosave, seed=opt.seed, device_aug=opt.device_aug,
+        cutout=opt.cutout, ud_flip=opt.ud_flip,
         resume=opt.resume, hyp_override=hyp_override,
         max_targets=opt.max_targets,
         tp=opt.tp, device_mesh=False if opt.no_mesh else None,

@@ -223,17 +223,30 @@ class DetectionDataset:
             self.img_files = [x for x in f.read().splitlines()
                               if os.path.splitext(x)[-1].lower() in IMG_FORMATS]
         self.rnd = random.Random(seed)
+        self._real = None   # process_shard wrap-pad mask (all real otherwise)
         if process_shard is not None:
             # per-host partition (replaces DistributedSampler, reference
-            # train.py:267-280): host i takes every pc-th item, truncated to
-            # a common length so every host sees the same batch count
+            # train.py:267-280): host i takes every pc-th item, then pads to
+            # the common ceil length by wrapping (torch DistributedSampler
+            # semantics) so every host sees the same batch count WITHOUT
+            # dropping the tail images. Wrapped duplicates report an empty
+            # path (path_of), so the collective evaluator excludes them from
+            # its statistics while SPMD lockstep is preserved.
             pi, pc = process_shard
-            per_host = len(self.img_files) // pc
-            assert per_host > 0, (len(self.img_files), pc)
-            self.img_files = self.img_files[pi::pc][:per_host]
+            files = self.img_files[pi::pc]
+            assert files, (len(self.img_files), pc)
+            n_pad = -(-len(self.img_files) // pc) - len(files)
+            self._real = [True] * len(files) + [False] * n_pad
+            files = files + [files[j % len(files)] for j in range(n_pad)]
+            self.img_files = files
         if subset_len != -1:
             assert subset_len <= len(self.img_files)
-            self.img_files = self.rnd.sample(self.img_files, subset_len)
+            # sample indices (same draws as sampling the list itself) so the
+            # shard-pad mask stays aligned with the kept files
+            keep = self.rnd.sample(range(len(self.img_files)), subset_len)
+            self.img_files = [self.img_files[i] for i in keep]
+            if self._real is not None:
+                self._real = [self._real[i] for i in keep]
         n = len(self.img_files)
         assert n > 0, f'No images found in {path}'
         bi = np.floor(np.arange(n) / batch_size).astype(int)
@@ -264,6 +277,8 @@ class DetectionDataset:
             order = ar.argsort()
             self.img_files = [self.img_files[i] for i in order]
             self.label_files = [self.label_files[i] for i in order]
+            if self._real is not None:
+                self._real = [self._real[i] for i in order]
             self.shapes = shapes[order]
             ar = ar[order]
             nb = bi[-1] + 1
@@ -309,6 +324,14 @@ class DetectionDataset:
         if cache_images:
             for i in range(n):
                 self._load_image(i)
+
+    def path_of(self, index):
+        """Image path for batch metadata — '' for shard-pad duplicates so
+        downstream consumers (the evaluator's statistics pass, save_json)
+        treat them like ragged-batch padding."""
+        if self._real is not None and not self._real[index]:
+            return ''
+        return self.img_files[index]
 
     def _read_shapes(self, path):
         sp = path.replace('.txt', '.shapes')
@@ -441,7 +464,7 @@ class DetectionDataset:
 
         if not self.is_gray_scale:
             img = img[:, :, ::-1]  # BGR -> RGB, stays HWC for the TPU
-        return np.ascontiguousarray(img), labels, self.img_files[index], shapes
+        return np.ascontiguousarray(img), labels, self.path_of(index), shapes
 
     def class_weights(self, nc):
         """Inverse-frequency class weights (reference utils/utils.py:61-74)."""
@@ -524,7 +547,7 @@ class BatchLoader:
                 labels.append(out.astype(np.float32))
             else:
                 labels.append(np.zeros((0, 5), np.float32))
-            paths.append(ds.img_files[i])
+            paths.append(ds.path_of(i))
             shapes.append(((h0, w0), ((h / h0, w / w0), (padw, padh))))
         while len(labels) < self.bs:
             batch = np.concatenate(

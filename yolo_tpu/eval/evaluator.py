@@ -189,8 +189,11 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
 
     Multi-host: when the mesh spans several processes, EVERY rank must call
     evaluate with the same arguments. Each rank feeds its process_shard of
-    the val set (batch_size is global), the jitted step runs SPMD over all
-    chips, outputs all-gather to fully-replicated arrays, and every rank
+    the val set (batch_size is global; shards wrap-pad to a common length
+    so batch counts stay in SPMD lockstep, and the pad duplicates are
+    excluded from the statistics — every val image counts exactly once),
+    the jitted step runs SPMD over all chips, outputs all-gather to
+    fully-replicated arrays, and every rank
     computes the identical full statistics — rank 0 prints. Square
     letterboxing is forced (rect batching would give ranks different batch
     shapes, breaking SPMD). save_json is unsupported here.
@@ -280,8 +283,16 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     if multiproc:
         # every rank must read the full (dets, loss, correct) outputs to
         # build the complete statistics — constrain them replicated (the
-        # all-gather is tiny: max_det boxes per image)
-        infer = jax.jit(infer, out_shardings=_repl)
+        # all-gather is tiny: max_det boxes per image). The wrapper is
+        # cached per (infer, mesh) like the inner jit: re-wrapping every
+        # evaluate() call would re-pay trace+lowering each epoch.
+        wkey = cache_key + ('repl-wrap', id(mesh))
+        wrapped = _INFER_CACHE.get(wkey)
+        if wrapped is not None and wrapped[1] is mesh:
+            infer = wrapped[0]
+        else:
+            infer = jax.jit(infer, out_shardings=_repl)
+            _INFER_CACHE[wkey] = (infer, mesh)
 
     if loader is None:
         if dataset is None:

@@ -98,6 +98,9 @@ class TrainOptions:
     device_aug: bool = False             # mosaic/affine/HSV/flip on the TPU
                                          # (host does decode+letterbox only;
                                          # see data/device_aug.py)
+    cutout: bool = False                 # extra host augmentations, off by
+    ud_flip: bool = False                # default like the reference
+                                         # (utils/datasets.py:718-763, :486-488)
     accumulate_override: int | None = None  # None = reference 64/bs rule
     remat: str = 'none'                  # 'none' | 'blocks' | 'full' train
                                          # backward rematerialization policy
@@ -329,7 +332,7 @@ def run_training(opt: TrainOptions):
         train_path, img_size, local_bs, augment=host_augment, hyp=hyp,
         rect=opt.rect, cache_images=opt.cache_images,
         is_gray_scale=opt.gray_scale, image_weights=opt.image_weights,
-        seed=opt.seed,
+        seed=opt.seed, cutout=opt.cutout, ud_flip=opt.ud_flip,
         process_shard=(pi, pc) if multihost else None)
     dev_aug = None
     if opt.augment and opt.device_aug:
@@ -545,6 +548,12 @@ def run_training(opt: TrainOptions):
                                 ema=ck_ema, ema_state=ck_ema_state,
                                 qstate=ck_qstate, extra=ck_extra)
 
+    if is_chief and opt.bucket and not opt.nosave:
+        # end-of-training weights upload (reference train.py:585-587)
+        from ..utils import gsutil
+        for ck in (last, best):
+            if os.path.exists(ck):
+                gsutil.upload_weights(opt.bucket, ck)
     log(f'{opt.epochs} epochs completed in {(time.time() - t0) / 3600:.3f} '
         f'hours.')
     return results
