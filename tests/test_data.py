@@ -176,3 +176,25 @@ def test_dataset_cutout_ud_flip(synth_ds):
                 not np.allclose(labels[:, 2], b_labels[:, 2], atol=1e-6):
             flipped = True
     assert painted   # cutout masks landed on at least one image
+
+
+def test_rect_sharded_shapes_ignore_sidecar(synth_ds):
+    """rect + process_shard must neither read nor write the full-list
+    .shapes sidecar: another rank's shard can have the SAME length but
+    different images, so the cache would be silently wrong. Shards compute
+    their own shapes; only unsharded datasets touch the sidecar."""
+    sp = synth_ds.replace('.txt', '.shapes')
+    if os.path.exists(sp):
+        os.remove(sp)
+    ds0 = DetectionDataset(synth_ds, 320, 2, rect=True, process_shard=(0, 2))
+    assert not os.path.exists(sp)          # shard never writes the cache
+    # poison a sidecar with shard-length garbage; the other rank must not
+    # accept it even though the length matches
+    with open(sp, 'w') as f:
+        f.write('\n'.join(['9999 9999'] * len(ds0.img_files)))
+    ds1 = DetectionDataset(synth_ds, 320, 2, rect=True, process_shard=(1, 2))
+    assert (ds1.shapes < 9999).all()       # computed from its own images
+    os.remove(sp)
+    # unsharded path still populates the cache
+    ds = DetectionDataset(synth_ds, 320, 2, rect=True)
+    assert os.path.exists(sp) and len(open(sp).read().splitlines()) == ds.n

@@ -334,24 +334,32 @@ class DetectionDataset:
         return self.img_files[index]
 
     def _read_shapes(self, path):
+        # the .shapes sidecar caches shapes for the FULL list file; a
+        # process_shard holds a strided subset, so the cache must be
+        # neither read (another rank's shard can have the same length)
+        # nor overwritten — compute shard shapes directly
+        sharded = self._real is not None
         sp = path.replace('.txt', '.shapes')
-        try:
-            with open(sp) as f:
-                s = [x.split() for x in f.read().splitlines()]
-            assert len(s) == self.n, 'Shapefile out of sync'
-            return np.array(s, np.float64)
-        except (OSError, AssertionError):
-            from PIL import Image
-            shapes = []
-            for f in self.img_files:
-                with Image.open(f) as im:
-                    shapes.append(im.size)  # (w, h)
-            s = np.array(shapes, np.float64)
+        if not sharded:
+            try:
+                with open(sp) as f:
+                    s = [x.split() for x in f.read().splitlines()]
+                assert len(s) == self.n, 'Shapefile out of sync'
+                return np.array(s, np.float64)
+            except (OSError, AssertionError):
+                pass
+        from PIL import Image
+        shapes = []
+        for f in self.img_files:
+            with Image.open(f) as im:
+                shapes.append(im.size)  # (w, h)
+        s = np.array(shapes, np.float64)
+        if not sharded:
             try:
                 np.savetxt(sp, s, fmt='%g')
             except OSError:
                 pass
-            return s
+        return s
 
     def _load_image(self, index):
         if self.imgs[index] is not None:
