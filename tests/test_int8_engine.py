@@ -194,6 +194,25 @@ def test_engine_mobilenetv3_se_fallback(repo_root):
     _assert_close(eng, sim)
 
 
+def test_engine_yolov4(repo_root):
+    """mish + SPP (parallel maxpool routes) + 3-scale head coverage: the
+    full yolov4 graph (reference cfg/yolov4/yolov4.cfg) through the true-
+    int8 engine must track its own fake-quant sim."""
+    net = build_ir(f'{repo_root}/cfg/yolov4/yolov4.cfg')
+    assert any(l.kind == 'conv' and l.activation == 'mish'
+               for l in net.layers)
+    assert any(l.kind == 'maxpool' for l in net.layers)   # the SPP block
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, apply_q, qs, x = _calibrated(net, params, state, steps=2)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    plan = prepare_int8(net, params, state, qs, cfg)
+    apply_i8 = jax.jit(make_int8_apply(net, plan))
+    io_eng, _ = apply_i8(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)
+
+
 # --- TPSQ export (scales live in params, asymmetric quant/dequant grid) ---
 
 TPSQ_CFG = """
