@@ -101,7 +101,7 @@ def main():
             yolos = [l for l in net.layers if l.kind == 'yolo']
 
             @jax.jit
-            def infer(arrays, _unused, _unused2, x, targets, valid):
+            def infer(arrays, _unused, _unused2, x, targets, valid, img_w):
                 heads, objs = eng(arrays, x)
                 dets = non_max_suppression_heads(
                     heads, [l.anchors for l in yolos],
@@ -117,11 +117,12 @@ def main():
 
     for mode in opt.modes:
         infer, (p_, s_, q_) = build(mode)
-        out = infer(p_, s_, q_, x, tgt, valid)
+        img_w = jnp.ones(bs, jnp.float32)
+        out = infer(p_, s_, q_, x, tgt, valid, img_w)
         np.asarray(out[0])                      # compile + sync
         t0 = time.perf_counter()
         for _ in range(opt.iters):
-            out = infer(p_, s_, q_, x, tgt, valid)
+            out = infer(p_, s_, q_, x, tgt, valid, img_w)
         np.asarray(out[0])
         dt = (time.perf_counter() - t0) / opt.iters
         print(f'eval [{mode}] bs={bs} size={opt.size}: {dt * 1e3:.1f} '

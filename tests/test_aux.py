@@ -304,7 +304,7 @@ def test_gsutil_sync_commands(monkeypatch):
         ['gsutil', 'cp', 'res.txt', 'gs://bkt/results/resultsrun1.txt'],
         ['gsutil', 'cp', 'gs://bkt/evolve.txt', 'evolve.txt'],
         ['gsutil', 'cp', 'evolve.txt', 'gs://bkt/evolve.txt'],
-        ['gsutil', 'cp', 'weights/best.npz', 'gs://bkt/weights'],
+        ['gsutil', 'cp', 'weights/best.npz', 'gs://bkt/weights/best.npz'],
     ]
 
 

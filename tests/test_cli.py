@@ -637,8 +637,10 @@ def test_train_bucket_sync_and_eval_plots(workspace, tmp_path, monkeypatch):
     results_up = ['gsutil', 'cp', 'resultsrun7.txt',
                   'gs://mybkt/results/resultsrun7.txt']
     assert calls[:2] == [results_up] * 2
+    # explicit object names: the reference's bare gs://bkt/weights destination
+    # makes the second upload overwrite the first on a fresh bucket
     assert calls[2:] == [['gsutil', 'cp', os.path.join('weights', ck),
-                          'gs://mybkt/weights']
+                          f'gs://mybkt/weights/{ck}']
                          for ck in ('last.npz', 'best.npz')]
 
     import test as test_cli

@@ -129,6 +129,42 @@ def test_loss_no_targets():
     assert float(items[1]) > 0.0  # obj loss on all-negative map
 
 
+def test_loss_img_weight_excludes_pad_slots():
+    """Eval passes a per-image 0/1 weight so batch pad slots (ragged tails,
+    multi-host wrap-pad duplicates) drop out of every loss mean: a 3-image
+    batch with the last slot weighted 0 reports exactly the 2-image batch's
+    loss, no matter what image or labels sit in the pad slot."""
+    p, labels, anchor_vecs, nc = _random_case(3, bs=2)
+    hyp = LossHyp()
+    tgt2, valid2 = pad_targets(labels, max_t=32)
+    _, ref_items = compute_loss([jnp.asarray(x, jnp.float32) for x in p],
+                                jnp.asarray(tgt2), jnp.asarray(valid2),
+                                anchor_vecs, nc, hyp, gr=1.0)
+
+    # pad slot = a duplicate of image 0 WITH its labels marked valid (the
+    # multi-host wrap-pad shape) — weight 0 must erase it from the means
+    p3, labels3, _, _ = _random_case(3, bs=3)
+    for i, x in enumerate(p):
+        p3[i][:2] = x
+        p3[i][2] = x[0]
+    labels3 = list(labels) + [labels[0]]
+    tgt3, valid3 = pad_targets(labels3, max_t=48)
+    _, w_items = compute_loss([jnp.asarray(x, jnp.float32) for x in p3],
+                              jnp.asarray(tgt3), jnp.asarray(valid3),
+                              anchor_vecs, nc, hyp, gr=1.0,
+                              img_weight=jnp.asarray([1.0, 1.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(w_items), np.asarray(ref_items),
+                               rtol=1e-6, atol=1e-8)
+
+    # all-ones weight == the unweighted reduction
+    _, ones_items = compute_loss([jnp.asarray(x, jnp.float32) for x in p],
+                                 jnp.asarray(tgt2), jnp.asarray(valid2),
+                                 anchor_vecs, nc, hyp, gr=1.0,
+                                 img_weight=jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(ones_items),
+                               np.asarray(ref_items), rtol=1e-6, atol=1e-8)
+
+
 def test_loss_grad_flows():
     p, labels, anchor_vecs, nc = _random_case(2)
     hyp = LossHyp()

@@ -181,11 +181,14 @@ init_multihost(f'localhost:{port}', num_processes=2, process_id=pid)
 from yolo_tpu.ir import build_ir
 from yolo_tpu.models.network import init_params
 from yolo_tpu.eval.evaluator import evaluate
+from yolo_tpu.train.loss import LossHyp
 net = build_ir(f'{ws}/toy.cfg')
 params, state = init_params(jax.random.PRNGKey(0), net)
+avs = [l.anchors / l.yolo_stride for l in net.layers if l.kind == 'yolo']
 mesh = make_mesh()                 # (data=2, model=1) spanning both ranks
 res, maps, _ = evaluate(net, params, state, f'{ws}/obj.data',
-                        batch_size=2, img_size=64, mesh=mesh)
+                        batch_size=2, img_size=64, mesh=mesh,
+                        loss_hyp=LossHyp(), anchor_vecs=avs)
 print('EVALRES %%d ' %% pid + ','.join('%%.17g' %% v for v in res) +
       ' MAPS ' + ','.join('%%.17g' %% v for v in maps), flush=True)
 ''' % (REPO,)
@@ -194,11 +197,13 @@ print('EVALRES %%d ' %% pid + ','.join('%%.17g' %% v for v in res) +
 def test_two_process_sharded_eval_matches_single(tmp_path):
     """All-rank collective evaluation under multi-host (VERDICT r3 next #2):
     both ranks drive evaluate(mesh=global_mesh) with their process_shard of
-    the val set; P/R/mAP/F1 (and val losses' positions) equal the
-    single-process evaluation of the same params, and every rank holds the
-    full results (no chief-only device_get round-trip). The val set is
-    deliberately NOT divisible by the process count: the tail image rides a
-    shard-pad wrap slot and must still be counted exactly once."""
+    the val set; P/R/mAP/F1 AND the val losses equal the single-process
+    evaluation of the same params, and every rank holds the full results
+    (no chief-only device_get round-trip). The val set is deliberately NOT
+    divisible by the process count: the tail image rides a shard-pad wrap
+    slot and must be counted exactly once — in the statistics (paths
+    filter) and in the loss means (per-image weight; without it the
+    duplicate's obj/box/cls terms bias the reported losses)."""
     import re
     import sys as _sys
     _sys.path.insert(0, REPO)
@@ -238,11 +243,19 @@ def test_two_process_sharded_eval_matches_single(tmp_path):
     # letterboxing like the multi-host path, sequential image order
     net = build_ir(f'{ws}/toy.cfg')
     params, state = init_params(jax.random.PRNGKey(0), net)
+    avs = [l.anchors / l.yolo_stride for l in net.layers if l.kind == 'yolo']
+    from yolo_tpu.train.loss import LossHyp
     ds = DetectionDataset(f'{ws}/train.txt', 64, 2, rect=False)
     res, maps, _ = evaluate(net, params, state, f'{ws}/obj.data',
-                            batch_size=2, img_size=64, dataset=ds)
-    np.testing.assert_allclose(got[0][0], np.asarray(res, np.float64),
+                            batch_size=2, img_size=64, dataset=ds,
+                            loss_hyp=LossHyp(), anchor_vecs=avs)
+    assert any(v > 0 for v in res[4:7]), res   # losses actually computed
+    np.testing.assert_allclose(got[0][0][:4], np.asarray(res[:4], np.float64),
                                rtol=1e-6, atol=1e-9)
+    # f32 loss means accumulate in a different reduction order under the
+    # replicated-output wrapper — bit-level noise only
+    np.testing.assert_allclose(got[0][0][4:], np.asarray(res[4:], np.float64),
+                               rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(got[0][1], np.asarray(maps, np.float64),
                                rtol=1e-6, atol=1e-9)
 

@@ -449,7 +449,9 @@ class DetectionDataset:
                 augment_hsv(img, self.hyp.get('hsv_h', 0),
                             self.hyp.get('hsv_s', 0),
                             self.hyp.get('hsv_v', 0), rnd=self.rnd)
-            if self.cutout:
+            if self.cutout and self.rnd.random() < 0.9:
+                # the reference's commented call site gates cutout at 90%
+                # (utils/datasets.py:462-464)
                 img = np.ascontiguousarray(img)
                 labels = cutout(img,
                                 np.asarray(labels, np.float32).reshape(-1, 5),

@@ -80,7 +80,7 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
 
     if sparse:
         @jax.jit
-        def infer(params, state, qstate, x, targets, valid):
+        def infer(params, state, qstate, x, targets, valid, img_w):
             heads, objs = fwd(params, state, qstate, x)
             dets = non_max_suppression_heads(
                 heads, anchors, strides, yolos[0].no, conf_thres=conf_thres,
@@ -93,7 +93,7 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
                           for h, (na, no) in zip(heads, nas)]
                 _, items = compute_loss(
                     [p.astype(jnp.float32) for p in yolo_p], targets, valid,
-                    anchor_vecs, nc, loss_hyp, 1.0)
+                    anchor_vecs, nc, loss_hyp, 1.0, img_weight=img_w)
                 return dets, items[:3], correct
             return dets, jnp.zeros(3), correct
     else:
@@ -103,7 +103,7 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
             if quant_apply is not None else 'anchor_major'
 
         @jax.jit
-        def infer(params, state, qstate, x, targets, valid):
+        def infer(params, state, qstate, x, targets, valid, img_w):
             io, yolo_p, _ = fwd(params, state, qstate, x)
             dets = non_max_suppression(io, conf_thres=conf_thres,
                                        iou_thres=iou_thres, top_k=top_k,
@@ -114,7 +114,8 @@ def _build_infer(net, *, quant_apply, anchor_vecs, loss_hyp,
                 from ..train.loss import compute_loss
                 _, items = compute_loss(
                     [p.astype(jnp.float32) for p in yolo_p], targets, valid,
-                    anchor_vecs, nc, loss_hyp, 1.0, layout=loss_layout)
+                    anchor_vecs, nc, loss_hyp, 1.0, layout=loss_layout,
+                    img_weight=img_w)
                 return dets, items[:3], correct
             return dets, jnp.zeros(3), correct
     return infer
@@ -191,7 +192,8 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     evaluate with the same arguments. Each rank feeds its process_shard of
     the val set (batch_size is global; shards wrap-pad to a common length
     so batch counts stay in SPMD lockstep, and the pad duplicates are
-    excluded from the statistics — every val image counts exactly once),
+    excluded from the statistics AND the val losses via a per-image
+    weight — every val image counts exactly once),
     the jitted step runs SPMD over all chips, outputs all-gather to
     fully-replicated arrays, and every rank
     computes the identical full statistics — rank 0 prints. Square
@@ -342,12 +344,19 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
                 mesh, np.ascontiguousarray(imgs))
             tgt_in = replicated_global(mesh, g_tgt)
             valid_in = replicated_global(mesh, g_valid)
+            # wrap-pad duplicate slots weigh 0 in the val losses — every
+            # real image counts exactly once in losses AND statistics
+            w_in = replicated_global(mesh, g_real.astype(np.float32))
             x = _pre(imgs_in, maxabsscaler)
             dets, loss_items, correct_dev = infer(params, state, qstate, x,
-                                                  tgt_in, valid_in)
+                                                  tgt_in, valid_in, w_in)
             paths = ['host' if r else '' for r in g_real]
             return (dets, loss_items, correct_dev, g_tgt, g_valid, paths,
                     [None] * len(paths), imgs.shape[1:3])
+        # ragged-tail pad slots (empty path) weigh 0 in the val losses: the
+        # per-batch loss means cover the real images only, matching the
+        # reference whose last val batch is simply smaller (test.py:113-116)
+        real_w = np.array([bool(p) for p in paths], np.float32)
         if mesh is not None:
             # uint8 batch sharded over the data axis before the on-device
             # normalise; targets replicate (they index images by batch row,
@@ -355,12 +364,14 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
             imgs_in = shard_batch(mesh, np.ascontiguousarray(imgs))
             tgt_in = jax.device_put(np.asarray(tgt), _repl)
             valid_in = jax.device_put(np.asarray(valid), _repl)
+            w_in = jax.device_put(real_w, _repl)
         else:
-            imgs_in, tgt_in, valid_in = (imgs, jnp.asarray(tgt),
-                                         jnp.asarray(valid))
+            imgs_in, tgt_in, valid_in, w_in = (imgs, jnp.asarray(tgt),
+                                               jnp.asarray(valid),
+                                               jnp.asarray(real_w))
         x = _pre(imgs_in, maxabsscaler)
         dets, loss_items, correct_dev = infer(params, state, qstate, x,
-                                              tgt_in, valid_in)
+                                              tgt_in, valid_in, w_in)
         return (dets, loss_items, correct_dev, tgt, valid, paths, shapes,
                 imgs.shape[1:3])
 

@@ -227,10 +227,13 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
         if str(weights).endswith(('.npz',)):
             ck = load_checkpoint(weights)
             src_params, src_state = ck['params'], ck['state']
-            if prefer_ema and ck.get('ema') is not None:
-                src_params = ck['ema']
-                if ck.get('ema_state') is not None:
-                    src_state = ck['ema_state']
+            if prefer_ema and ck.get('ema') is not None \
+                    and ck.get('ema_state') is not None:
+                # only swap in the EMA copy as a PAIR: EMA params normalised
+                # by the raw trajectory's BN running stats is a weight/stat
+                # combination no eval ever measured (pre-r4 checkpoints
+                # stored 'ema' without 'ema_state' — those load raw/raw)
+                src_params, src_state = ck['ema'], ck['ema_state']
             params = _merge_compatible(params, src_params)
             state = _merge_compatible(state, src_state)
             if qstate is not None:

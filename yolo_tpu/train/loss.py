@@ -113,7 +113,8 @@ def build_targets_layer(targets, valid, anchor_vec, ny: int, nx: int,
 
 
 def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
-                 nc: int, hyp: LossHyp, gr=1.0, layout: str = 'anchor_major'):
+                 nc: int, hyp: LossHyp, gr=1.0, layout: str = 'anchor_major',
+                 img_weight=None):
     """Total detection loss.
 
     p: list of raw per-layer predictions (bs, na, ny, nx, no), or
@@ -122,6 +123,12 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
     gather/scatter indices just follow the native memory order).
     targets: (T, 6) padded; valid: (T,) bool. gr: giou-ratio scalar
     (burn-in ramped, reference train.py:357-358).
+    img_weight: optional (bs,) 0/1 mask — evaluation passes it to exclude
+    batch pad slots (ragged tails, multi-host wrap-pad duplicates) from
+    every loss mean, so the reported val losses cover each real image
+    exactly once (the reference's last val batch is simply smaller,
+    test.py:113-116). None (training) keeps the unweighted reductions
+    bit-identical.
     Returns (loss, loss_items(4,)) with loss_items = [lbox, lobj, lcls, total]
     matching utils/utils.py:431-432.
 
@@ -157,8 +164,15 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
         tbox = jnp.concatenate([lt.txy.reshape(-1, 2),
                                 lt.twh.reshape(-1, 2)], axis=1)
         giou = bbox_iou(pbox, tbox, x1y1x2y2=False, GIoU=True)
-        denom = jnp.maximum(n_sel, 1)
-        lbox = lbox + jnp.sum((1.0 - giou) * mask) / denom
+        if img_weight is None:
+            w_t = mask
+            denom = jnp.maximum(n_sel, 1)
+        else:
+            # zero the weight of every (anchor, target) pair belonging to a
+            # pad-slot image; denominators count the weighted selection
+            w_t = mask * img_weight.astype(jnp.float32)[jnp.clip(b, 0, bs - 1)]
+            denom = jnp.maximum(jnp.sum(w_t), 1.0)
+        lbox = lbox + jnp.sum((1.0 - giou) * w_t) / denom
 
         # obj targets: giou-ratio at assigned cells (utils/utils.py:398)
         tobj_val = (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(giou), 0)
@@ -175,7 +189,12 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
         obj_bce = bce_with_logits(obj_logit, tobj, hyp.obj_pw)
         if hyp.fl_gamma > 0:
             obj_bce = obj_bce * focal_scale(obj_logit, tobj, hyp.fl_gamma)
-        lobj = lobj + jnp.mean(obj_bce)
+        if img_weight is None:
+            lobj = lobj + jnp.mean(obj_bce)
+        else:
+            iw = img_weight.astype(jnp.float32).reshape(bs, 1, 1, 1)
+            lobj = lobj + jnp.sum(obj_bce * iw) / (
+                jnp.maximum(jnp.sum(iw), 1.0) * (na * ny * nx))
 
         if nc > 1:
             t_cls = jnp.full((ps.shape[0], nc), cn, ps.dtype)
@@ -183,7 +202,7 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
             cls_bce = bce_with_logits(ps[:, 5:], t_cls, hyp.cls_pw)
             if hyp.fl_gamma > 0:
                 cls_bce = cls_bce * focal_scale(ps[:, 5:], t_cls, hyp.fl_gamma)
-            lcls = lcls + jnp.sum(cls_bce * mask[:, None]) / (denom * nc)
+            lcls = lcls + jnp.sum(cls_bce * w_t[:, None]) / (denom * nc)
 
     lbox = lbox * hyp.giou
     lobj = lobj * hyp.obj

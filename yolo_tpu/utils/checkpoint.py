@@ -105,8 +105,12 @@ def strip_optimizer(path):
     the EMA weights: here the EMA copy is promoted to params/state and the
     raw trajectory dropped — the result is deploy-only, not resumable."""
     ck = load_checkpoint(path)
-    params = ck['params'] if ck.get('ema') is None else ck['ema']
-    state = ck['state'] if ck.get('ema_state') is None else ck['ema_state']
+    # promote the EMA copy only as a PAIR (params + BN state) — mixing EMA
+    # params with raw running stats is a combination no eval measured
+    if ck.get('ema') is not None and ck.get('ema_state') is not None:
+        params, state = ck['ema'], ck['ema_state']
+    else:
+        params, state = ck['params'], ck['state']
     save_checkpoint(path, params=params, state=state,
                     epoch=ck.get('epoch', -1),
                     best_fitness=ck.get('best_fitness', 0.0),

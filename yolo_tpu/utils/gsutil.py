@@ -7,6 +7,7 @@ logged, never fatal (the reference's os.system ignores the exit code too).
 
 from __future__ import annotations
 
+import os
 import subprocess
 
 
@@ -45,6 +46,10 @@ def upload_evolve(bucket: str, evolve_file='evolve.txt'):
 
 
 def upload_weights(bucket: str, path):
-    """Stripped-checkpoint upload at end of training (train.py:587)."""
+    """End-of-training checkpoint upload (train.py:587). The destination
+    names the object explicitly (weights/<basename>): the reference's bare
+    `gs://bucket/weights` only lands inside a folder when a weights/ prefix
+    already exists — on a fresh bucket gsutil treats it as the object name
+    and the second upload silently overwrites the first."""
     if bucket:
-        cp(path, f'gs://{bucket}/weights')
+        cp(path, f'gs://{bucket}/weights/{os.path.basename(str(path))}')
