@@ -78,7 +78,7 @@ def main(argv=None):
                           subset_len=min(opt.subset_len,
                                          sum(1 for _ in
                                              open(data_dict['train']))),
-                          seed=0)
+                          is_gray_scale=opt.gray_scale, seed=0)
     loader = BatchLoader(ds, opt.batch_size)
     calib = jax.jit(lambda p, s, q, x: q_bundle._apply(p, s, q, x, True))
     qstate = q_bundle.qstate

@@ -23,6 +23,20 @@ def main(argv=None):
     p.add_argument('--TM', type=int, default=32)
     p.add_argument('--TN', type=int, default=32)
     p.add_argument('--out', type=str, default='fpga_export')
+    p.add_argument('--gray-scale', '--gray_scale', dest='gray_scale',
+                   action='store_true',
+                   help='1-channel model (the reference FPGA flow targets '
+                        'IR imagery; convert_FPGA.py:18)')
+    # accepted for reference-CLI compat; the reference parses these but its
+    # exporter never reads them (detect.py argparse copy-paste)
+    p.add_argument('--data', type=str, default='')
+    p.add_argument('--source', type=str, default='')
+    p.add_argument('--output', type=str, default='')
+    p.add_argument('--img_size', '--img-size', type=int, default=416)
+    p.add_argument('--conf-thres', type=float, default=0.5)
+    p.add_argument('--nms-thres', type=float, default=0.5)
+    p.add_argument('--device', type=str, default='')
+    p.add_argument('--FPGA', action='store_true')
     opt = p.parse_args(argv)
 
     from yolo_tpu.compress.fpga_export import export_fpga_weights
@@ -31,7 +45,8 @@ def main(argv=None):
 
     bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
                         a_bit=opt.a_bit, w_bit=opt.w_bit,
-                        shortcut_way=opt.shortcut_way)
+                        shortcut_way=opt.shortcut_way,
+                        is_gray_scale=opt.gray_scale)
     qpath = opt.weights.replace('.npz', '_qstate.npz')
     if os.path.exists(qpath):
         bundle.qstate = load_checkpoint(qpath)['params']

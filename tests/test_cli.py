@@ -201,6 +201,35 @@ def test_ptq_cli_int8_engine(workspace, tmp_path, monkeypatch):
     assert os.path.exists('weights/PTQ8.npz')
 
 
+def test_ptq_fpga_gray_scale(workspace, tmp_path, monkeypatch):
+    """The reference's FPGA flow targets 1-channel IR imagery
+    (convert_FPGA.py:18 Darknet(is_gray_scale=...)): PTQ calibration and
+    the packed-binary export run end-to-end on a channels=1 model."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    cfg = tmp_path / 'toy_gray.cfg'
+    cfg.write_text(TOY_CFG.replace('channels=3', 'channels=1'))
+    net = build_ir(str(cfg), is_gray_scale=True)
+    assert net.in_channels == 1
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(cfg), '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4', '--no-eval',
+                  '--gray-scale', '--out', 'weights/PTQg.npz'])
+
+    import convert_FPGA as fpga_cli
+    fpga_cli.main(['--cfg', str(cfg), '--weights', 'weights/PTQg.npz',
+                   '--gray-scale', '--reorder'])
+    for f in ('weights.bin', 'biases.bin', 'w_scale.bin'):
+        assert os.path.exists(f'fpga_export/{f}')
+
+
 def test_info_cli(workspace, capsys):
     import info as info_cli
     r = info_cli.main(['--cfg', str(workspace / 'toy.cfg'), '--img-size', '64'])
