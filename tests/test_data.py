@@ -183,6 +183,36 @@ def test_dataset_cutout_ud_flip(synth_ds):
     assert painted   # cutout masks landed on at least one image
 
 
+def test_random_affine_keeps_gray_channel():
+    """cv2.warpAffine drops the singleton channel of (H, W, 1) inputs;
+    the gray-scale augment path (1-channel IR models, the reference FPGA
+    flow) must stay HWC end-to-end or batches arrive 3-D at the conv."""
+    import random as _random
+    from yolo_tpu.data.transforms import random_affine
+    img = np.random.RandomState(0).randint(0, 255, (64, 64, 1), np.uint8)
+    out, _ = random_affine(img, np.zeros((0, 5), np.float32),
+                           degrees=5, translate=0.1, scale=0.1, shear=2,
+                           rnd=_random.Random(0))
+    assert out.ndim == 3 and out.shape[2] == 1
+    # 3-channel path unchanged
+    img3 = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    out3, _ = random_affine(img3, np.zeros((0, 5), np.float32),
+                            degrees=5, translate=0.1, scale=0.1, shear=2,
+                            rnd=_random.Random(0))
+    assert out3.shape == (64, 64, 3)
+
+def test_gray_dataset_augment_batch_is_4d(synth_ds):
+    """A gray-scale training batch stays (bs, H, W, 1) through the full
+    augment path (mosaic + affine; HSV skipped for gray)."""
+    from yolo_tpu.data.datasets import BatchLoader, DetectionDataset
+    hyp = {'degrees': 3, 'translate': 0.05, 'scale': 0.05, 'shear': 1,
+           'hsv_h': 0, 'hsv_s': 0, 'hsv_v': 0}
+    ds = DetectionDataset(synth_ds, img_size=96, batch_size=2, augment=True,
+                          hyp=hyp, is_gray_scale=True, seed=0)
+    imgs, _, _, _, _ = next(iter(BatchLoader(ds, 2)))
+    assert imgs.shape == (2, 96, 96, 1) and imgs.dtype == np.uint8
+
+
 def test_rect_sharded_shapes_ignore_sidecar(synth_ds):
     """rect + process_shard must neither read nor write the full-list
     .shapes sidecar: another rank's shard can have the SAME length but

@@ -109,9 +109,14 @@ def random_affine(img, targets=None, degrees=10, translate=.1, scale=.1,
 
     M = S @ T @ R
     if border != 0 or (M != np.eye(3)).any():
+        gray = img.ndim == 3 and img.shape[2] == 1
         img = cv2.warpAffine(img, M[:2], dsize=(width, height),
                              flags=cv2.INTER_LINEAR,
                              borderValue=(PAD_VALUE,) * 3)
+        if gray and img.ndim == 2:
+            # cv2 drops the singleton channel of (H, W, 1) inputs; the
+            # gray-scale pipeline keeps HWC end-to-end
+            img = img[..., None]
 
     n = len(targets)
     if n:

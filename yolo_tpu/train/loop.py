@@ -187,7 +187,8 @@ def run_training(opt: TrainOptions):
         if fresh:
             cb = min(opt.batch_size, n_train)
             calib_ds = DetectionDataset(train_path, img_size, cb,
-                                        subset_len=cb, seed=opt.seed)
+                                        subset_len=cb, seed=opt.seed,
+                                        is_gray_scale=opt.gray_scale)
             imgs = next(iter(BatchLoader(calib_ds, cb)))[0]
             bundle.params = tpsq_warmup(
                 net, bundle.qcfg, bundle.params, bundle.state,
