@@ -60,9 +60,15 @@ def main(argv=None):
 
     if opt.weights.endswith('.npz'):
         ck = load_checkpoint(opt.weights)
+        # export the deployable EMA pair when present — the reference's
+        # checkpoint 'model' entry IS the EMA state_dict (train.py:551-556),
+        # so its convert() ships the weights whose mAP was reported
+        if ck.get('ema') is not None and ck.get('ema_state') is not None:
+            src_p, src_s = ck['ema'], ck['ema_state']
+        else:
+            src_p, src_s = ck['params'], ck['state']
         target = opt.output or opt.weights.rsplit('.', 1)[0] + '.weights'
-        write(ck['params'], ck['state'],
-              {'epoch': int(ck.get('epoch', -1))})
+        write(src_p, src_s, {'epoch': int(ck.get('epoch', -1))})
     elif opt.weights.endswith('.weights'):
         params, state, version, seen = load_darknet_weights(
             net, params, state, opt.weights)

@@ -155,6 +155,39 @@ def test_convert_cli_roundtrip(workspace, tmp_path, monkeypatch):
                                           np.asarray(ck['params'][k][f]))
 
 
+def test_convert_cli_exports_ema_pair(workspace, tmp_path, monkeypatch):
+    """convert.py on a training checkpoint exports the deployable EMA
+    weights + EMA BN state, not the raw trajectory — the reference's
+    ckpt['model'] IS the EMA state_dict (train.py:551-556), so its
+    convert() ships the weights whose mAP was reported."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.darknet_io import load_darknet_weights
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    ema = jax.tree.map(lambda a: a + 1.0, params)
+    ema_state = jax.tree.map(lambda a: a * 0.5 + 0.25, state)
+    save_checkpoint('t.npz', params=params, state=state,
+                    ema=ema, ema_state=ema_state)
+
+    import convert as convert_cli
+    convert_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                      '--weights', 't.npz', '--output', 't.weights'])
+    p0, s0 = init_params(jax.random.PRNGKey(1), net)
+    p, s, _, _ = load_darknet_weights(net, p0, s0, 't.weights')
+    for k in ema:
+        for f in ema[k]:
+            np.testing.assert_allclose(np.asarray(p[k][f]),
+                                       np.asarray(ema[k][f]), atol=0)
+    for k in ema_state:
+        for f in ema_state[k]:
+            np.testing.assert_allclose(np.asarray(s[k][f]),
+                                       np.asarray(ema_state[k][f]), atol=0)
+
+
 def test_ptq_cli(workspace, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import jax
