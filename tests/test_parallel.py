@@ -148,3 +148,35 @@ def test_cli_train_auto_mesh_matches_single_device(tmp_path, monkeypatch):
     assert np.isfinite(dp).all()
     # same data, same math; only collective reduction order differs (bf16)
     np.testing.assert_allclose(dp, single, rtol=2e-2, atol=2e-3)
+
+
+def test_cli_qat_train_dp_matches_single_device(tmp_path, monkeypatch):
+    """QAT training composes with data parallelism: the quantizer trackers
+    (running ranges, BN-fold stats) are batch reductions, so under the
+    sharded batch GSPMD lifts them to GLOBAL-batch statistics — the DP
+    trajectory matches the single-device run on the same seeded data (the
+    reference wraps quantized models in the same DDP as float ones)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    import train as train_cli
+
+    ws = ge._make_toy_workspace(str(tmp_path / 'ws'))
+
+    def run(tag, extra):
+        d = tmp_path / tag
+        d.mkdir()
+        monkeypatch.chdir(d)
+        train_cli.main([
+            '--cfg', f'{ws}/toy.cfg', '--data', f'{ws}/obj.data',
+            '--epochs', '2', '--batch-size', '8', '--quantized', '1',
+            '--img-size', '64', '64', '64', '--notest', '--nosave'] + extra)
+        rows = np.loadtxt(d / 'results.txt').reshape(2, -1)
+        return rows[:, 1:5]   # mloss columns (giou, obj, cls, total)
+
+    single = run('qat_single', ['--no-mesh'])
+    dp = run('qat_dp', [])
+    assert np.isfinite(dp).all()
+    np.testing.assert_allclose(dp, single, rtol=2e-2, atol=2e-3)
