@@ -24,7 +24,7 @@ import os
 import numpy as np
 
 from ..ir import NetworkIR
-from .quant import QuantConfig, qrange, round_half_away
+from .quant import QuantConfig, qrange
 
 
 def _shift_exponent(scale: float) -> float:

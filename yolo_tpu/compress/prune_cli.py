@@ -70,7 +70,6 @@ def run_prune_cli(method: str, argv=None):
     from ..eval.evaluator import evaluate
     from ..models.darknet_io import save_darknet_weights
     from ..runtime import load_model
-    from ..utils.profiling import count_params
     from .prune import write_cfg
     from .prune_drivers import (channel_prune, eagle_eye_prune, layer_prune,
                                 layer_channel_prune)

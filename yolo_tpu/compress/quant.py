@@ -29,8 +29,6 @@ All quantized scales snap to powers of two (FPGA shift-friendly).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -26,7 +26,6 @@ tensor with a validity mask; dropped boxes just clear their mask bit.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from ..config import load_classes, parse_data_cfg
 from ..data.datasets import BatchLoader, DetectionDataset
 from ..models.network import make_apply
 from ..ops.nms import non_max_suppression, to_host_detections
-from .metrics import (ap_per_class, coco80_to_coco91_class, fitness,
+from .metrics import (ap_per_class, coco80_to_coco91_class,
                       match_predictions)
 
 

@@ -37,7 +37,6 @@ the FPGA export path).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field as dc_field
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 from .. import ir as ir_mod
 from ..ops import activations as act_mod
 from ..ops import conv as conv_ops
-from .yolo_head import decode_yolo, decode_yolo_nhwc, reshape_pred
+from .yolo_head import decode_yolo_nhwc, reshape_pred
 
 # BN hyper-params: per-conv BN (torch default eps, momentum=0.1,
 # reference models.py:100) vs standalone BatchNorm2d blocks

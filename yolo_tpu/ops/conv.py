@@ -11,7 +11,6 @@ Reference semantics: models.py:92-113 (conv+bn+act), :176-197 (depthwise),
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ if not os.environ.get('YOLO_TPU_NO_COMPILE_CACHE'):
 
 from .compress.quant import QuantConfig, init_quant_state, make_quant_apply
 from .ir import NetworkIR, build_ir
-from .models.darknet_io import load_darknet_weights, save_darknet_weights
+from .models.darknet_io import load_darknet_weights
 from .models.network import fuse_params, init_params, make_apply
 from .ops.nms import non_max_suppression
 from .utils.checkpoint import load_checkpoint

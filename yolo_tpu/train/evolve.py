@@ -4,7 +4,6 @@ plot_evolution_results, utils/utils.py:1059-1097, 1319-1338)."""
 from __future__ import annotations
 
 import os
-import random
 
 import numpy as np
 

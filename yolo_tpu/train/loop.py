@@ -15,7 +15,7 @@ import math
 import os
 import random
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 
@@ -28,7 +28,7 @@ from ..config import load_hyp, parse_data_cfg
 from ..data.datasets import BatchLoader, DetectionDataset
 from ..eval.evaluator import evaluate
 from ..eval.metrics import fitness
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, shard_batch
 from ..runtime import load_model, preprocess
 from ..train import kd as kd_mod
 from ..train.loss import LossHyp

@@ -17,7 +17,6 @@ Targets layout per slot: (img_idx, class, x, y, w, h) with xywh normalised to
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax

@@ -21,7 +21,7 @@ from ..ir import NetworkIR
 from ..models.network import make_apply
 from .ema import EMAState, ema_init, ema_update
 from .loss import LossHyp, compute_loss
-from .optim import (AdamState, PerGroupScalars, SGDState, adam_init,
+from .optim import (PerGroupScalars, adam_init,
                     adam_update, label_tree, sgd_init, sgd_update)
 
 
