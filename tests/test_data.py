@@ -181,6 +181,35 @@ def test_dataset_cutout_ud_flip(synth_ds):
         elif len(labels) != len(b_labels):
             flipped = True
     assert painted   # cutout masks landed on at least one image
+    assert flipped   # the augment stream diverged (ud flip / cutout drops)
+
+
+def test_ud_flip_exact_semantics(synth_ds):
+    """ud-flip (reference utils/datasets.py:484-488): when the flip fires,
+    the image is flipud and label y mirrors; item 0 shares an identical RNG
+    stream with the no-ud dataset up to the ud draw, so the relation is
+    exact. Scans seeds until both outcomes (flip / no-flip) are seen."""
+    hyp = {'degrees': 0, 'translate': 0, 'scale': 0, 'shear': 0,
+           'hsv_h': 0, 'hsv_s': 0, 'hsv_v': 0}
+    saw_flip = saw_noflip = False
+    for seed in range(8):
+        base = DetectionDataset(synth_ds, img_size=128, augment=True,
+                                hyp=hyp, seed=seed)
+        ud = DetectionDataset(synth_ds, img_size=128, augment=True,
+                              hyp=hyp, seed=seed, ud_flip=True)
+        b_img, b_lab, _, _ = base[0]
+        u_img, u_lab, _, _ = ud[0]
+        if np.array_equal(u_img, b_img):
+            saw_noflip = True
+            np.testing.assert_allclose(u_lab, b_lab, atol=1e-7)
+        else:
+            saw_flip = True
+            np.testing.assert_array_equal(u_img, np.flipud(b_img))
+            np.testing.assert_allclose(u_lab[:, 2], 1 - b_lab[:, 2],
+                                       atol=1e-6)
+        if saw_flip and saw_noflip:
+            break
+    assert saw_flip and saw_noflip
 
 
 def test_random_affine_keeps_gray_channel():

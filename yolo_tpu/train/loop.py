@@ -491,10 +491,10 @@ def run_training(opt: TrainOptions):
                 qstate=ts.qstate, loss_hyp=loss_hyp,
                 anchor_vecs=anchor_vecs, mesh=mesh,
                 # the reference's per-epoch test.test() rewrites the
-                # test_batch0 GT/pred mosaics every epoch (test.py:187-193);
-                # write them once on the first eval here (the GT mosaic never
-                # changes; evaluator forces plot off under multi-host)
-                plot=epoch == start_epoch and not opt.nosave)
+                # test_batch0 GT/pred mosaics every eval (test.py:187-193) —
+                # the pred mosaic tracks training progress; the evaluator
+                # forces plot off under multi-host
+                plot=not opt.nosave)
 
         # TensorBoard scalars + BN-gamma histograms (train.py:530-542)
         if tb is not None:
