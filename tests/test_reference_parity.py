@@ -85,6 +85,11 @@ ZOO = [
     ('yolov3-ghostnet/yolov3-ghost-coco.cfg', 320, 0.5),
     ('yolov3tiny-mobilenet-small/yolov3tiny-mobilenet-small-coco.cfg',
      320, 1.0),
+    # r4 extensions: reorg3d no-op + PAN topology (models.py:307-308),
+    # triple-SPP, and the maxpool-heavy tiny-v2 (stride-1 tail pool)
+    ('yolov3/yolov3-spp-pan-scale.cfg', 320, 0.6),
+    ('yolov3/yolov3-spp3.cfg', 320, 0.6),
+    ('yolov2/yolov2-tiny.cfg', 320, 1.0),
 ]
 
 
@@ -118,6 +123,45 @@ def test_forward_io_parity(ref, cfg_rel, size, conv_scale, tmp_path):
     np.testing.assert_allclose(np.asarray(io_mine), io_ref.numpy(),
                                rtol=2e-4, atol=2e-3,
                                err_msg=f'decoded io ({cfg_rel})')
+
+
+def test_forward_io_parity_gray_scale(ref, tmp_path):
+    """1-channel models through both frameworks: the reference seeds
+    output_filters=[1] under is_gray_scale (models.py:17-20); here build_ir
+    does the same. Shared .weights -> identical eval heads + decoded io."""
+    import torch
+    cfg_rel = 'yolov3-singlechannel/yolov3-singlechannel.cfg'
+    size = 320
+    tm = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
+                            img_size=(size, size), is_gray_scale=True)
+    randomize_reference_model(tm, seed=0, conv_scale=0.6)
+    tm.eval()
+    wpath = tmp_path / 'gray.weights'
+    ref.models.save_weights(tm, str(wpath))
+    mine = Network.from_cfg(f'/root/reference/cfg/{cfg_rel}',
+                            compute_dtype=None, is_gray_scale=True)
+    params, state, _, _ = load_darknet_weights(
+        mine.net, mine.params, mine.state, str(wpath))
+    mine.params, mine.state = params, state
+
+    torch.manual_seed(7)
+    xt = torch.rand(2, 1, size, size)
+    with torch.no_grad():
+        io_ref, p_ref, _ = tm(xt)
+    xj = jnp.asarray(xt.numpy().transpose(0, 2, 3, 1))
+    _, p_mine, _ = mine.apply(mine.params, mine.state, xj, train=False)
+    assert len(p_mine) == len(p_ref)
+    for i, (a, b) in enumerate(zip(p_mine, p_ref)):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f'raw head {i} (gray)')
+    yolo_layers = [l for l in mine.net.layers if l.kind == 'yolo']
+    io_mine = jnp.concatenate(
+        [decode_yolo(p, l.anchors, l.yolo_stride)
+         for p, l in zip(p_mine, yolo_layers)], axis=1)
+    np.testing.assert_allclose(np.asarray(io_mine), io_ref.numpy(),
+                               rtol=2e-4, atol=2e-3,
+                               err_msg='decoded io (gray)')
 
 
 @pytest.mark.parametrize('cfg_rel,size,conv_scale', ZOO,
