@@ -21,6 +21,17 @@ assert all(d.platform == 'cpu' for d in jax.devices())
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: tests marked `slow` (the heaviest differential runs)
+    are opt-in via RUN_SLOW=1 so the default inner loop stays fast."""
+    if os.environ.get('RUN_SLOW') == '1':
+        return
+    skip = pytest.mark.skip(reason='slow tier; RUN_SLOW=1 to enable')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope='session')
 def repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

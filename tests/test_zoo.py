@@ -36,6 +36,28 @@ def test_zoo_builds_and_profiles(repo_root):
         assert info['params'] > 0 and info['macs'] > 0, f
 
 
+@pytest.mark.slow
+def test_zoo_forwards(repo_root):
+    """Every shipped cfg actually FORWARDS (eval mode, 128px, random init) —
+    building an IR is not enough to claim a cfg runs. The reference cannot
+    do this for its own zoo (efficientnetB0 fails its cfg-field whitelist,
+    spp-pan-scale crashes on the reorg3d no-op, spp-matrix KeyErrors on
+    stride_x/stride_y and hardcodes 3 strides for its 4 heads)."""
+    for f in _all_cfgs(repo_root):
+        net = build_ir(f)
+        params, state = init_params(jax.random.PRNGKey(0), net)
+        apply = make_apply(net, compute_dtype=jnp.float32)
+        x = jax.random.uniform(jax.random.PRNGKey(1),
+                               (1, 128, 128, net.in_channels))
+        io, p, _ = apply(params, state, x, train=False)
+        # anisotropic-stride cfgs (spp-matrix stride_x/stride_y) have
+        # non-square grids, so count cells from the actual head maps
+        ncells = sum(q.shape[1] * q.shape[2] * q.shape[3] for q in p)
+        assert io.shape == (1, ncells, net.nc + 5), f
+        assert len(p) == len(net.yolo_layers), f
+        assert bool(jnp.isfinite(io).all()), f
+
+
 def test_efficientnet_b0_forward(repo_root):
     """SE-via-cfg pattern: avgpool -> conv -> conv(logistic) -> scale_channels."""
     net = build_ir(os.path.join(

@@ -708,7 +708,10 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 else:
                     yolo_p.append(reshape_pred(prev, lyr.na, lyr.no))
                 head_out.append(prev)
-            elif lyr.kind in ('reorg3d', 'dropout'):
+            elif lyr.kind == 'reorg3d':
+                # space-to-depth layout op — grid-preserving, no requant
+                prev = conv_ops.space_to_depth(prev, lyr.stride)
+            elif lyr.kind == 'dropout':
                 pass
 
             if lyr.is_routed:

@@ -192,7 +192,12 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
             routs.update(lyr.layers)
 
         elif kind == 'reorg3d':
-            pass  # no-op in reference (models.py:307-308)
+            # real space-to-depth: H,W /= stride, C *= stride^2. The
+            # reference no-ops this block (models.py:307-308), which leaves
+            # its only user (yolov3-spp-pan-scale.cfg) crashing at the
+            # following PAN concats; here it runs for real (ASFF precedent).
+            lyr.stride = int(mdef.get('stride', 2))
+            lyr.filters = output_filters[-1] * lyr.stride ** 2
 
         elif kind == 'dropout':
             # extension: efficientnetB0 cfg carries [dropout] blocks the
@@ -242,6 +247,8 @@ def build_ir(cfg, is_gray_scale: bool = False, cfg_name: str | None = None) -> N
             f = prev_f * lyr.stride
         elif lyr.kind == 'upsample':
             f = max(prev_f // lyr.stride, 1)
+        elif lyr.kind == 'reorg3d':
+            f = prev_f * lyr.stride
         elif lyr.kind in ('route', 'scale_channels'):
             f = factor[lyr.layers[0]] if lyr.layers and lyr.layers[0] < i else prev_f
         elif lyr.kind == 'yolo':

@@ -508,7 +508,12 @@ def make_int8_apply(net: NetworkIR, plan: Int8Plan, backend: str = 'auto',
                 prev = ('f', conv_ops.batch_norm_infer(
                     _as_float(prev), a['gamma'], a['beta'],
                     a['mean'], a['var'], 1e-4))
-            elif lyr.kind in ('reorg3d', 'dropout'):
+            elif lyr.kind == 'reorg3d':
+                # pure layout op: works directly on int8, scale unchanged
+                prev = (prev[0],
+                        conv_ops.space_to_depth(prev[1], lyr.stride),
+                        *prev[2:])
+            elif lyr.kind == 'dropout':
                 pass
             elif lyr.kind == 'yolo':
                 if heads_only:

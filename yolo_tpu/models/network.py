@@ -321,8 +321,14 @@ def make_apply(net: ir_mod.NetworkIR, *, compute_dtype=jnp.bfloat16,
                 # excite: per-channel gate (1x1 spatial) scales the `from` map
                 prev = outs[lyr.layers[0]] * prev
 
-            elif lyr.kind in ('reorg3d', 'dropout'):
-                pass  # reorg3d is a reference no-op; dropout is inference-identity
+            elif lyr.kind == 'reorg3d':
+                # space-to-depth (the reference no-ops this, models.py:307-308,
+                # making yolov3-spp-pan-scale.cfg unrunnable there; it runs
+                # for real here — see ops/conv.py:space_to_depth)
+                prev = conv_ops.space_to_depth(prev, lyr.stride)
+
+            elif lyr.kind == 'dropout':
+                pass  # inference-identity
 
             elif lyr.kind == 'yolo':
                 hmap = (asff_fuse(outs, lyr) if lyr.index in asff_yolo

@@ -127,8 +127,15 @@ def batch_norm_train(x, gamma, beta, running_mean, running_var,
     n = x.shape[0] * x.shape[1] * x.shape[2]
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=axes)
-    mean_sq = jnp.mean(jnp.square(xf), axis=axes)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)  # biased
+    if x.dtype == jnp.float32:
+        # f32 (parity/CPU) path: two-pass variance. The one-pass form
+        # E[x^2]-mean^2 cancels catastrophically when |mean| >> std (e.g.
+        # near-constant inputs), which perturbs the BN backward at the 1e-2
+        # level — measured against torch in the trajectory-parity test.
+        var = jnp.mean(jnp.square(xf - mean), axis=axes)
+    else:
+        mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)  # biased
     y = ((xf - mean) * lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1.0 - momentum) * running_mean + momentum * mean
@@ -161,6 +168,24 @@ def max_pool(x, size: int, stride: int):
         window_strides=(1, stride, stride, 1),
         padding=pad,
     )
+
+
+def space_to_depth(x, stride: int):
+    """NHWC space-to-depth: (N,H,W,C) -> (N,H/s,W/s,s*s*C), output channel
+    index = (sy*s + sx)*C + c — the [reorg3d] lowering.
+
+    The reference no-ops reorg3d (models.py:307-308), which leaves its only
+    user cfg (cfg/yolov3/yolov3-spp-pan-scale.cfg:773-791) unrunnable
+    upstream: the following PAN route concats get a 2x spatial mismatch.
+    Here the block runs for real (same move as the ASFF head fusion), so
+    the cfg forwards/trains. Pure layout op — no FLOPs, grid-preserving on
+    quantized tensors.
+    """
+    n, h, w, c = x.shape
+    s = stride
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // s, w // s, s * s * c)
 
 
 def upsample_nearest(x, scale: int):

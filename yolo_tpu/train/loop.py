@@ -110,6 +110,9 @@ class TrainOptions:
                                          # fold math stays f32, fake-quant
                                          # edges are grid-exact in bf16) or
                                          # 'f32' (bit-identical to r2)
+    float_dtype: str = 'bf16'            # float-path conv compute dtype:
+                                         # 'bf16' (TPU default) or 'f32'
+                                         # (torch-trajectory-parity testing)
     qat_bn_fast: bool = True             # switch to the stat-conv-free
                                          # QAT step once BN_freeze_step is
                                          # passed (running stats hold at
@@ -163,13 +166,14 @@ def run_training(opt: TrainOptions):
     # --resume continues the raw trajectory (the EMA copy is restored
     # separately below); plain --weights fine-tunes from the deployable EMA
     # weights, like the reference whose ckpt['model'] IS the EMA state_dict
+    float_dtype = jnp.float32 if opt.float_dtype == 'f32' else jnp.bfloat16
     bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
                         a_bit=opt.a_bit, w_bit=opt.w_bit,
                         shortcut_way=opt.shortcut_way, steps=steps,
                         is_gray_scale=opt.gray_scale,
                         maxabsscaler=opt.maxabsscaler,
                         compute_dtype=jnp.float32 if opt.quantized != -1
-                        else jnp.bfloat16, pt=opt.pt,
+                        else float_dtype, pt=opt.pt,
                         prefer_ema=not opt.resume)
     net = bundle.net
     anchor_vecs = bundle.anchor_vecs()
@@ -242,7 +246,7 @@ def run_training(opt: TrainOptions):
     train_fn_kwargs = dict(
         nc=nc, hyp=loss_hyp,
         optimizer='adam' if use_adam else 'sgd',
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=float_dtype,
         sparsity_s=opt.sparsity if opt.prune != -1 else 0.0,
         sparse_gamma_layers=sparse_layers, kd_loss_fn=kd_fn,
         remat=(False if opt.remat in ('none', '') else
@@ -381,7 +385,6 @@ def run_training(opt: TrainOptions):
 
     ni = start_epoch * nb
     loss_scale = opt.batch_size / 64.0
-    host_accum = 0   # mirrors ts.accum_count without a per-step device sync
     for epoch in range(start_epoch, opt.epochs):
         if dataset.image_weights:
             dataset.update_image_weights(nc, maps)
@@ -448,10 +451,13 @@ def run_training(opt: TrainOptions):
                 else grad_fn
             ts, items = step_fn(ts, x, tgt_in, valid_in, gr, loss_scale)
             qat_steps_done += 1
-            host_accum += 1
-            if host_accum >= accumulate:
+            # reference cadence (train.py:450): the optimizer steps when
+            # ni % accumulate == 0 — NOT a since-last-update counter. With
+            # the burn-in accumulate ramp these differ (e.g. bs=16,
+            # n_burn=6 steps at ni={0,2,8,12}, not every-4th batch);
+            # trajectory-parity-tested vs torch in test_reference_parity.py
+            if ni % max(accumulate, 1) == 0:
                 ts = update_fn(ts, scalars)
-                host_accum = 0
             # device-side running mean — no host round-trip in the hot loop
             mloss_dev = (mloss_dev * i + items) / (i + 1)
             if i % log_every == 0 or i + 1 == nb:

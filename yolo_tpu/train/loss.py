@@ -173,16 +173,23 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
             denom = jnp.maximum(jnp.sum(w_t), 1.0)
         lbox = lbox + jnp.sum((1.0 - giou) * w_t) / denom
 
-        # obj targets: giou-ratio at assigned cells (utils/utils.py:398)
+        # obj targets: giou-ratio at assigned cells (utils/utils.py:398).
+        # Two targets can share a (b, a, cell): torch fancy-index assignment
+        # is last-write-wins in the anchor-major pair order, while XLA's
+        # duplicate-index scatter-set order is undefined — so scatter-max
+        # the pair index first and gather the winner's value (trajectory-
+        # parity-tested vs torch).
         tobj_val = (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(giou), 0)
         # drop invalid writes by pushing their batch index out of range
         b_w = jnp.where(mask, b, bs)
+        pair_idx = jnp.arange(b_w.shape[0], dtype=jnp.int32)
         if nhwc:
-            tobj = jnp.zeros((bs, ny, nx, na), jnp.float32)
-            tobj = tobj.at[b_w, gj, gi, a].set(tobj_val, mode='drop')
+            win = jnp.full((bs, ny, nx, na), -1, jnp.int32)
+            win = win.at[b_w, gj, gi, a].max(pair_idx, mode='drop')
         else:
-            tobj = jnp.zeros((bs, na, ny, nx), jnp.float32)
-            tobj = tobj.at[b_w, a, gj, gi].set(tobj_val, mode='drop')
+            win = jnp.full((bs, na, ny, nx), -1, jnp.int32)
+            win = win.at[b_w, a, gj, gi].max(pair_idx, mode='drop')
+        tobj = jnp.where(win >= 0, tobj_val[jnp.clip(win, 0)], 0.0)
 
         obj_logit = pi[..., 4].astype(jnp.float32)
         obj_bce = bce_with_logits(obj_logit, tobj, hyp.obj_pw)

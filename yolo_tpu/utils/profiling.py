@@ -53,6 +53,8 @@ def count_macs(net: NetworkIR, img_size=(416, 416)) -> int:
                        (cur[1] + 2 * p - lyr.size) // lyr.stride + 1)
         elif lyr.kind == 'upsample':
             cur = (cur[0] * lyr.stride, cur[1] * lyr.stride)
+        elif lyr.kind == 'reorg3d':
+            cur = (cur[0] // lyr.stride, cur[1] // lyr.stride)
         elif lyr.kind in ('route', 'scale_channels'):
             if lyr.layers and lyr.layers[0] < len(sizes):
                 cur = sizes[lyr.layers[0]]
