@@ -7,6 +7,8 @@ scale search votes per batch), evaluates both, saves the calibrated model.
 """
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
@@ -15,8 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
+def parse_args(argv=None):
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
     p.add_argument('--weights', type=str, default='weights/last.npz')
@@ -43,7 +45,11 @@ def main(argv=None):
     p.add_argument('--int8-engine', action='store_true',
                    help='also evaluate the calibrated model on the true-int8 '
                         'MXU engine (s8xs8->s32 convs, int8 HBM edges)')
-    opt = p.parse_args(argv)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
 
     import jax
     import jax.numpy as jnp

@@ -7,6 +7,8 @@ are deterministic from the cfg walk (yolo_tpu/models/torch_import.py), so
 `--weights last.pt` converts without touching the reference's own tools."""
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
@@ -14,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--weights', type=str, required=True,
                    help='.npz -> .weights or .weights -> .npz by extension')

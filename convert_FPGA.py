@@ -5,6 +5,8 @@ int8/int16 weight/bias binaries + per-layer shift-exponent binaries,
 optionally TM/TN-tile-reordered."""
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
@@ -12,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--weights', type=str, default='weights/PTQ.npz')
     p.add_argument('--quantized', type=int, default=3)

@@ -3,6 +3,8 @@
 sources, on-device NMS, box rescale to original frames, draw + save."""
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 import time
@@ -13,8 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
+def parse_args(argv=None):
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
     p.add_argument('--weights', type=str, default='weights/last.npz')
@@ -63,7 +65,11 @@ def main(argv=None):
                         'legacy quantized_ptq modules, and reference '
                         'detect.py:26 passing it to Darknet() (which has '
                         'no such kwarg, models.py:443) crashes outright')
-    opt = p.parse_args(argv)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
 
     import cv2
     import jax.numpy as jnp

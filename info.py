@@ -3,6 +3,8 @@
 utils/torch_utils.py:92-110): per-layer table, params, GFLOPs."""
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
@@ -10,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser()
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--img-size', type=int, default=416)
     p.add_argument('--device', type=str, default='',

@@ -2,14 +2,16 @@
 """mAP evaluation CLI (reference test.py:256-309)."""
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
+def parse_args(argv=None):
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
     p.add_argument('--weights', type=str, default='weights/last.npz')
@@ -44,7 +46,11 @@ def main(argv=None):
     p.add_argument('--no-plot', action='store_true',
                    help='skip the test_batch0_gt/pred.jpg mosaics '
                         '(reference test.py:187-193 writes them)')
-    opt = p.parse_args(argv)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
 
     from yolo_tpu.runtime import load_model
     from yolo_tpu.eval.evaluator import evaluate
@@ -62,7 +68,7 @@ def main(argv=None):
     eval_qstate = bundle.qstate
     if opt.int8_engine:
         if not bundle.quantized:
-            p.error('--int8-engine requires --quantized {1,2,3}')
+            raise SystemExit('--int8-engine requires --quantized {1,2,3}')
         # same wiring as PTQ.py --int8-engine: freeze the calibration into
         # an integer plan and evaluate the deployed numerics
         from yolo_tpu.models.int8_engine import prepare_int8, make_int8_apply

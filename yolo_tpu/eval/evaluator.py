@@ -309,9 +309,12 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
     jdict = []
     coco91 = coco80_to_coco91_class()
     t_inf = t_nms = 0.0
-    # GT-vs-pred plots of the first batch (reference test.py:187-193);
-    # needs the host-local images, so single-process only
-    plot = plot and not multiproc
+    # GT-vs-pred plots of the first batch (reference test.py:187-193).
+    # Multi-host: rank 0 plots its own local shard — its images are the
+    # first local_bs rows of the global batch (process-major concat), so
+    # det_list[:len(imgs)] in _plot_eval_batch0 picks exactly its rows;
+    # the stash below grabs the local targets before the global row shift
+    plot = plot and (not multiproc or pi == 0)
     plot_stash: dict = {}
 
     if not quiet:
