@@ -314,3 +314,96 @@ def test_gsutil_runner_survives_missing_binary(tmp_path):
     from yolo_tpu.utils import gsutil
     rc = gsutil._run(['gsutil-definitely-not-installed', 'cp', 'a', 'b'])
     assert rc != 0
+
+
+def test_dev_utilities(tmp_path, monkeypatch, capsys):
+    """The reference's REPL-only dev utilities (utils/utils.py:868-977,
+    1078-1108, 1262-1339) exist and work on this repo's artifacts."""
+    from yolo_tpu.utils import dev
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+
+    monkeypatch.chdir(tmp_path)
+
+    # label-dir tools on a tiny synthetic darknet label set
+    (tmp_path / 'labels').mkdir()
+    (tmp_path / 'images').mkdir()
+    import cv2
+    rows = {'a': [[0, .5, .5, .2, .2], [0, .3, .3, .1, .1]],
+            'b': [[2, .5, .5, .2, .2]],
+            'c': [[0, .4, .4, .2, .2], [2, .6, .6, .1, .1]]}
+    for name, rr in rows.items():
+        (tmp_path / 'labels' / f'{name}.txt').write_text(
+            '\n'.join(' '.join(str(v) for v in r) for r in rr) + '\n')
+        cv2.imwrite(str(tmp_path / 'images' / f'{name}.jpg'),
+                    np.zeros((64, 64, 3), np.uint8))
+    counts = dev.coco_class_count(str(tmp_path / 'labels'), nc=5)
+    assert counts.tolist() == [3, 0, 2, 0, 0]
+    people = dev.coco_only_people(str(tmp_path / 'labels'))
+    assert [(n, os.path.basename(f)) for n, f in people] == [(2, 'a.txt')]
+    dev.coco_single_class_labels(str(tmp_path / 'labels'), label_class=2,
+                                 out_dir=str(tmp_path / 'single'))
+    kept = sorted(os.listdir(tmp_path / 'single' / 'labels'))
+    assert kept == ['b.txt', 'c.txt']
+    # remapped to class 0, only matching rows kept
+    got = np.loadtxt(tmp_path / 'single' / 'labels' / 'c.txt').reshape(-1, 5)
+    assert got[:, 0].tolist() == [0.0] and len(got) == 1
+
+    dev.crop_images_random(str(tmp_path / 'images'), seed=0)
+    img = cv2.imread(str(tmp_path / 'images' / 'a.jpg'))
+    assert img is not None and img.shape[0] <= 64 and img.shape[1] <= 64
+
+    # model bias summary on the tiny toy cfg
+    cfg = tmp_path / 'toy.cfg'
+    cfg.write_text(
+        '[net]\nwidth=64\nheight=64\nchannels=3\n'
+        '[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\nstride=2\n'
+        'pad=1\nactivation=leaky\n'
+        '[convolutional]\nbatch_normalize=0\nfilters=18\nsize=1\nstride=1\n'
+        'pad=1\nactivation=linear\n'
+        '[yolo]\nmask=0,1,2\nanchors=10,13, 16,30, 33,23\nclasses=1\nnum=3\n')
+    net = build_ir(str(cfg))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    dev.print_model_biases(net, params)
+    out = capsys.readouterr().out
+    assert 'Model Bias Summary' in out and '+/-' in out
+
+    # create_backbone: strips optimizer/results, resets epoch
+    from yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    save_checkpoint(str(tmp_path / 'last.npz'), params=params, state=state,
+                    epoch=7, best_fitness=0.5, training_results='x',
+                    opt_state={'momentum_buf': params})
+    dev.create_backbone(str(tmp_path / 'last.npz'),
+                        str(tmp_path / 'backbone.npz'))
+    bk = load_checkpoint(str(tmp_path / 'backbone.npz'))
+    assert int(bk['epoch']) == -1 and 'opt_state' not in bk
+
+    # select_best_evolve
+    (tmp_path / 'evolve.txt').write_text(
+        ' '.join(['0.1'] * 12) + '\n' + ' '.join(['0.9'] * 12) + '\n')
+    best = dev.select_best_evolve(str(tmp_path / 'evolve*.txt'),
+                                  log=lambda *a: None)
+    assert len(best) == 1 and best[0][1][0] == np.float32(0.9)
+
+    # apply_classifier keeps only detections the 2nd stage agrees with
+    dets = [np.array([[2, 2, 20, 20, 0.9, 0],
+                      [30, 30, 60, 60, 0.8, 1]], np.float32)]
+    im0 = np.zeros((64, 64, 3), np.uint8)
+    keep0 = dev.apply_classifier(dets, lambda b: np.zeros(len(b), int),
+                                 (64, 64), [im0])
+    assert len(keep0[0]) == 1 and keep0[0][0, 5] == 0
+
+    # plot functions write their artifacts
+    assert os.path.exists(dev.plot_wh_methods(str(tmp_path / 'cmp.png')))
+    np.savetxt(tmp_path / 'test.txt',
+               np.random.RandomState(0).rand(50, 4) * 64)
+    dev.plot_test_txt(str(tmp_path / 'test.txt'))
+    assert os.path.exists('hist2d.png') and os.path.exists('hist1d.png')
+    np.savetxt(tmp_path / 'targets.txt',
+               np.random.RandomState(1).rand(50, 4))
+    assert os.path.exists(dev.plot_targets_txt(str(tmp_path / 'targets.txt'),
+                                               str(tmp_path / 'tg.jpg')))
+    res = np.zeros((3, 12)); res[:, 0] = np.arange(3); res[:, 1:] = 0.5
+    np.savetxt(tmp_path / 'results.txt', res, fmt='%10.4g')
+    saved = dev.plot_results_overlay(pattern=str(tmp_path / 'results*.txt'))
+    assert saved and os.path.exists(saved[0])
