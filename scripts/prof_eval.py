@@ -29,7 +29,9 @@ def main():
     p.add_argument('--cfg', default='cfg/yolov3/yolov3.cfg')
     p.add_argument('--modes', nargs='+',
                    default=['float_sparse', 'quant_dense', 'quant_sparse',
-                            'int8_engine'])
+                            'int8_engine'],
+                   help="also: quant_sparse_bf16 (bf16 MACs, f32 snaps), "
+                        "quant_sparse_bf16snap (bf16 MACs + bf16 snaps)")
     opt = p.parse_args()
 
     import jax
@@ -86,6 +88,13 @@ def main():
                                 **common), (params, state, qs)
         if mode == 'quant_sparse':
             return _build_infer(net, quant_apply=qapply, sparse=True,
+                                **common), (params, state, qs)
+        if mode in ('quant_sparse_bf16', 'quant_sparse_bf16snap'):
+            qa = Q.make_quant_apply(
+                net, cfg, compute_dtype=jnp.bfloat16,
+                eval_snap_dtype=(jnp.bfloat16 if mode.endswith('snap')
+                                 else None))
+            return _build_infer(net, quant_apply=qa, sparse=True,
                                 **common), (params, state, qs)
         if mode == 'int8_engine':
             from yolo_tpu.models.int8_engine import (make_int8_apply,

@@ -534,3 +534,34 @@ def test_qat_bn_fast_trajectory_across_boundary(tmp_path, monkeypatch):
     assert losses[True][:freeze] == losses[False][:freeze]
     np.testing.assert_allclose(losses[True][freeze:], losses[False][freeze:],
                                rtol=0.05, atol=0.05)
+
+
+def test_eval_snap_dtype_bf16_close_to_f32(toy):
+    """eval_snap_dtype=bf16 (the fast QAT-eval snapping, PERFORMANCE.md
+    quantized-eval): every dequantized activation stays on the same int8
+    grid, and eval outputs track the f32 sim to boundary-rounding level —
+    only elements whose x/scale sits within bf16 rounding of a 0.5
+    boundary may move one quantum."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    calib = Q.make_quant_apply(net, cfg, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.3
+    st, qs = state, qstate
+    for _ in range(3):
+        _, st, qs = calib(params, st, qs, x, train=True)
+
+    f32 = Q.make_quant_apply(net, cfg, compute_dtype=jnp.bfloat16)
+    fast = Q.make_quant_apply(net, cfg, compute_dtype=jnp.bfloat16,
+                              eval_snap_dtype=jnp.bfloat16)
+    io_a, p_a, _ = f32(params, st, qs, x, train=False)
+    io_b, p_b, _ = fast(params, st, qs, x, train=False)
+    # decoded boxes/conf: sub-quantum agreement
+    np.testing.assert_allclose(np.asarray(io_b, np.float32),
+                               np.asarray(io_a, np.float32),
+                               rtol=0.05, atol=0.25)
+    # raw heads nearly everywhere identical (boundary flips only)
+    a = np.asarray(p_a[0], np.float32).ravel()
+    b = np.asarray(p_b[0], np.float32).ravel()
+    frac_diff = np.mean(np.abs(a - b) > 1e-6)
+    assert frac_diff < 0.05, frac_diff

@@ -46,29 +46,53 @@ def ref():
     return load_reference()
 
 
-def _ref_model(ref, cfg_rel, size, seed=0, conv_scale=1.0):
+def _ref_model(ref, cfg_rel, size, seed=0, conv_scale=1.0,
+               is_gray_scale=False):
     import torch
     m = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
-                           img_size=(size, size))
+                           img_size=(size, size),
+                           is_gray_scale=is_gray_scale)
     randomize_reference_model(m, seed, conv_scale=conv_scale)
     m.eval()
     return m
 
 
-def _shared_weights(ref, cfg_rel, size, tmp_path, seed=0, conv_scale=1.0):
+def _shared_weights(ref, cfg_rel, size, tmp_path, seed=0, conv_scale=1.0,
+                    is_gray_scale=False):
     """Build a randomized reference model, save .weights, load into ours.
 
     Returns (torch model, my Network with loaded params, weights path).
     """
-    tm = _ref_model(ref, cfg_rel, size, seed, conv_scale)
+    tm = _ref_model(ref, cfg_rel, size, seed, conv_scale, is_gray_scale)
     wpath = tmp_path / 'shared.weights'
     ref.models.save_weights(tm, str(wpath))
     mine = Network.from_cfg(f'/root/reference/cfg/{cfg_rel}',
-                            compute_dtype=None)
+                            compute_dtype=None, is_gray_scale=is_gray_scale)
     params, state, version, seen = load_darknet_weights(
         mine.net, mine.params, mine.state, str(wpath))
     mine.params, mine.state = params, state
     return tm, mine, wpath
+
+
+def _assert_forward_io_parity(mine, tm, xt, tag):
+    """Shared eval-io assertion: raw heads + decoded io allclose."""
+    import torch
+    with torch.no_grad():
+        io_ref, p_ref, _ = tm(xt)
+    xj = jnp.asarray(xt.numpy().transpose(0, 2, 3, 1))
+    _, p_mine, _ = mine.apply(mine.params, mine.state, xj, train=False)
+    assert len(p_mine) == len(p_ref)
+    for i, (a, b) in enumerate(zip(p_mine, p_ref)):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f'raw head {i} ({tag})')
+    yolo_layers = [l for l in mine.net.layers if l.kind == 'yolo']
+    io_mine = jnp.concatenate(
+        [decode_yolo(p, l.anchors, l.yolo_stride)
+         for p, l in zip(p_mine, yolo_layers)], axis=1)
+    np.testing.assert_allclose(np.asarray(io_mine), io_ref.numpy(),
+                               rtol=2e-4, atol=2e-3,
+                               err_msg=f'decoded io ({tag})')
 
 
 # (cfg, img_size, conv_scale): residual towers get a damped init so eval
@@ -102,33 +126,14 @@ ZOO = [
 @pytest.mark.parametrize('cfg_rel,size,conv_scale', ZOO,
                          ids=[c.split('/')[-1] for c, _, _ in ZOO])
 def test_forward_io_parity(ref, cfg_rel, size, conv_scale, tmp_path):
-    """Same darknet weights into both frameworks -> same eval outputs."""
+    """Same darknet weights into both frameworks -> same eval outputs
+    (raw heads + full decoded io in the reference's anchor-major order)."""
     import torch
     tm, mine, _ = _shared_weights(ref, cfg_rel, size, tmp_path,
                                   conv_scale=conv_scale)
-
     torch.manual_seed(7)
-    xt = torch.rand(2, 3, size, size)
-    with torch.no_grad():
-        io_ref, p_ref, _ = tm(xt)
-
-    xj = jnp.asarray(xt.numpy().transpose(0, 2, 3, 1))
-    _, p_mine, _ = mine.apply(mine.params, mine.state, xj, train=False)
-
-    assert len(p_mine) == len(p_ref)
-    for i, (a, b) in enumerate(zip(p_mine, p_ref)):
-        np.testing.assert_allclose(np.asarray(a), b.numpy(),
-                                   rtol=2e-4, atol=2e-4,
-                                   err_msg=f'raw head {i} ({cfg_rel})')
-
-    # full decoded io in the reference's anchor-major order
-    yolo_layers = [l for l in mine.net.layers if l.kind == 'yolo']
-    io_mine = jnp.concatenate(
-        [decode_yolo(p, l.anchors, l.yolo_stride)
-         for p, l in zip(p_mine, yolo_layers)], axis=1)
-    np.testing.assert_allclose(np.asarray(io_mine), io_ref.numpy(),
-                               rtol=2e-4, atol=2e-3,
-                               err_msg=f'decoded io ({cfg_rel})')
+    _assert_forward_io_parity(mine, tm, torch.rand(2, 3, size, size),
+                              cfg_rel)
 
 
 def test_forward_io_parity_gray_scale(ref, tmp_path):
@@ -138,36 +143,10 @@ def test_forward_io_parity_gray_scale(ref, tmp_path):
     import torch
     cfg_rel = 'yolov3-singlechannel/yolov3-singlechannel.cfg'
     size = 320
-    tm = ref.models.Darknet(f'/root/reference/cfg/{cfg_rel}',
-                            img_size=(size, size), is_gray_scale=True)
-    randomize_reference_model(tm, seed=0, conv_scale=0.6)
-    tm.eval()
-    wpath = tmp_path / 'gray.weights'
-    ref.models.save_weights(tm, str(wpath))
-    mine = Network.from_cfg(f'/root/reference/cfg/{cfg_rel}',
-                            compute_dtype=None, is_gray_scale=True)
-    params, state, _, _ = load_darknet_weights(
-        mine.net, mine.params, mine.state, str(wpath))
-    mine.params, mine.state = params, state
-
+    tm, mine, _ = _shared_weights(ref, cfg_rel, size, tmp_path,
+                                  conv_scale=0.6, is_gray_scale=True)
     torch.manual_seed(7)
-    xt = torch.rand(2, 1, size, size)
-    with torch.no_grad():
-        io_ref, p_ref, _ = tm(xt)
-    xj = jnp.asarray(xt.numpy().transpose(0, 2, 3, 1))
-    _, p_mine, _ = mine.apply(mine.params, mine.state, xj, train=False)
-    assert len(p_mine) == len(p_ref)
-    for i, (a, b) in enumerate(zip(p_mine, p_ref)):
-        np.testing.assert_allclose(np.asarray(a), b.numpy(),
-                                   rtol=2e-4, atol=2e-4,
-                                   err_msg=f'raw head {i} (gray)')
-    yolo_layers = [l for l in mine.net.layers if l.kind == 'yolo']
-    io_mine = jnp.concatenate(
-        [decode_yolo(p, l.anchors, l.yolo_stride)
-         for p, l in zip(p_mine, yolo_layers)], axis=1)
-    np.testing.assert_allclose(np.asarray(io_mine), io_ref.numpy(),
-                               rtol=2e-4, atol=2e-3,
-                               err_msg='decoded io (gray)')
+    _assert_forward_io_parity(mine, tm, torch.rand(2, 1, size, size), 'gray')
 
 
 @pytest.mark.parametrize('cfg_rel,size,conv_scale', ZOO,
