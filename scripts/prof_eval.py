@@ -89,6 +89,14 @@ def main():
         if mode == 'quant_sparse':
             return _build_infer(net, quant_apply=qapply, sparse=True,
                                 **common), (params, state, qs)
+        if mode in ('quant_a32', 'quant_w32'):
+            # isolation probes: a_bits=32 / w_bits=32 disable the activation
+            # / weight quantizer chains respectively (bits==32 passthrough)
+            c2 = cfg._replace(a_bits=32 if mode == 'quant_a32' else 8,
+                              w_bits=32 if mode == 'quant_w32' else 8)
+            qa = Q.make_quant_apply(net, c2, compute_dtype=jnp.bfloat16)
+            return _build_infer(net, quant_apply=qa, sparse=True,
+                                **common), (params, state, qs)
         if mode in ('quant_sparse_bf16', 'quant_sparse_bf16snap'):
             qa = Q.make_quant_apply(
                 net, cfg, compute_dtype=jnp.bfloat16,

@@ -43,6 +43,11 @@ def parse_args(argv=None):
                         'convs, int8 HBM edges) instead of the fake-quant '
                         'simulation — the deployed-numerics mAP; requires '
                         'a calibrated quantized checkpoint')
+    p.add_argument('--qat-eval-snap', default='f32', choices=['f32', 'bf16'],
+                   help="fake-quant eval grid-snap dtype: 'bf16' is ~17%% "
+                        "faster on TPU (544->638 img/s @608/bs128), "
+                        "elements at .5 rounding boundaries may move one "
+                        "quantum vs the 'f32' reference sim")
     p.add_argument('--no-plot', action='store_true',
                    help='skip the test_batch0_gt/pred.jpg mosaics '
                         '(reference test.py:187-193 writes them)')
@@ -55,11 +60,15 @@ def main(argv=None):
     from yolo_tpu.runtime import load_model
     from yolo_tpu.eval.evaluator import evaluate
 
+    import jax.numpy as jnp
     bundle = load_model(opt.cfg, opt.weights, quantized=opt.quantized,
                         a_bit=opt.a_bit, w_bit=opt.w_bit,
                         shortcut_way=opt.shortcut_way,
                         is_gray_scale=opt.gray_scale,
-                        maxabsscaler=opt.maxabsscaler)
+                        maxabsscaler=opt.maxabsscaler,
+                        eval_snap_dtype=(jnp.bfloat16
+                                         if opt.qat_eval_snap == 'bf16'
+                                         else None))
     if opt.quantized == -1:
         bundle = bundle.fuse()   # conv+bn fuse for eval (test.py:52-53)
 

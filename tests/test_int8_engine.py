@@ -176,6 +176,7 @@ def test_engine_mixed_backend_matches_xla(toy):
     _assert_close(np.asarray(io_mix), np.asarray(io_xla))
 
 
+@pytest.mark.slow
 def test_engine_mobilenetv3_se_fallback(repo_root):
     """SE / depthwise / h_swish / standalone-BN zoo coverage: the engine's
     float fallback edges (SE gate + lone BatchNorm) must track the
@@ -194,6 +195,7 @@ def test_engine_mobilenetv3_se_fallback(repo_root):
     _assert_close(eng, sim)
 
 
+@pytest.mark.slow
 def test_engine_yolov4(repo_root):
     """mish + SPP (parallel maxpool routes) + 3-scale head coverage: the
     full yolov4 graph (reference cfg/yolov4/yolov4.cfg) through the true-

@@ -12,6 +12,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = '''
@@ -287,6 +289,7 @@ print(f'TPTRAIN_OK {pid}', flush=True)
 ''' % (REPO,)
 
 
+@pytest.mark.slow
 def test_two_process_dp_tp_training(tmp_path):
     """Multi-host composes with TP (VERDICT r3 next #5): two processes of 2
     devices each train on a DP(2) x TP(2) mesh spanning DCN; per-batch

@@ -12,12 +12,14 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'scripts'))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_compression_rehearsal_all_stages_green(tmp_path, monkeypatch):
     from compression_rehearsal import run_rehearsal
     monkeypatch.chdir(tmp_path)

@@ -210,9 +210,11 @@ QAT_ZOO = [
 ]
 
 
-@pytest.mark.parametrize('cfg_rel,way', QAT_ZOO,
-                         ids=[f"{c.split('/')[-1]}-way{w}"
-                              for c, w in QAT_ZOO])
+@pytest.mark.parametrize(
+    'cfg_rel,way',
+    [pytest.param(c, w, marks=[pytest.mark.slow] if (w == 2) else [])
+     for c, w in QAT_ZOO],
+    ids=[f"{c.split('/')[-1]}-way{w}" for c, w in QAT_ZOO])
 def test_google_qat_forward_parity(ref, cfg_rel, way, tmp_path):
     """Google-QAT twin networks on shared weights: identical calibration
     trajectory (range trackers, two-phase BN fold, pow-2 scale snap) and
@@ -921,9 +923,11 @@ def _calibrated_qat_twin(ref, cfg_rel, size, steps, tmp_path, *,
     return net, params, st, qs, qcfg, apply, qm, wpath
 
 
-@pytest.mark.parametrize('cfg_rel', ['yolov3tiny/yolov3-tiny.cfg',
-                                     'yolov3/yolov3.cfg'],
-                         ids=['tiny', 'yolov3'])
+@pytest.mark.parametrize(
+    'cfg_rel',
+    ['yolov3tiny/yolov3-tiny.cfg',
+     pytest.param('yolov3/yolov3.cfg', marks=pytest.mark.slow)],
+    ids=['tiny', 'yolov3'])
 def test_fpga_export_parity(ref, cfg_rel, tmp_path, monkeypatch, capsys):
     """FPGA weight export is byte-identical to the reference's
     convert_FPGA.py (:41-158) given the same calibrated quantization state:
@@ -1359,6 +1363,7 @@ def test_training_trajectory_parity(ref, tmp_path):
                           5 * atol, rtol)
 
 
+@pytest.mark.slow
 def test_quantizer_output_dump_parity(ref, tmp_path, monkeypatch, capsys):
     """The quantizer_output golden-file machinery matches the reference's
     in-forward dump (quantized_google.py:395-819) on a shared calibrated

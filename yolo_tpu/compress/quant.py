@@ -92,6 +92,10 @@ def fq(x, scale, zero_point, bits: int, sign: bool = True, snap_dtype=None):
     q = round_half_away(xf / sc + zp)
     q = jnp.clip(q, qmin, qmax)
     dq = ((q - zp) * sc).astype(x.dtype)
+    if snap_dtype is not None:
+        # eval fast mode: no gradient flows, so return the dequantized
+        # value directly instead of the STE x + stopgrad(dq - x) form
+        return dq
     return x + jax.lax.stop_gradient(dq - x)
 
 
@@ -587,9 +591,16 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                                                    jnp.abs(fmax)))
                     qs['input_scale'] = frange / qr
             in_scale = qs['input_scale'] if cfg.shortcut_way == 1 else qs['scale']
+            sd = None if train else eval_snap_dtype
             if cfg.shortcut_way == 2:
-                xq = fq(x, in_scale, 0.0, bits, True)
-                aq = fq(a, in_scale, 0.0, bits, True)
+                xq = fq(x, in_scale, 0.0, bits, True, snap_dtype=sd)
+                aq = fq(a, in_scale, 0.0, bits, True, snap_dtype=sd)
+            elif sd is not None:
+                # eval fast mode: the same round-without-clamp edge in the
+                # snap dtype, no STE (no gradients in eval)
+                scd = jnp.asarray(in_scale, sd)
+                xq = (round_half_away(x.astype(sd) / scd) * scd).astype(x.dtype)
+                aq = (round_half_away(a.astype(sd) / scd) * scd).astype(a.dtype)
             else:  # min-way: round without clamp (quantized_google.py:1147-1156)
                 xq = x + jax.lax.stop_gradient(
                     round_half_away(x / in_scale) * in_scale - x)
@@ -611,7 +622,8 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                 fr = pow2_snap(jnp.maximum(jnp.abs(qs['sum']['min']),
                                            jnp.abs(qs['sum']['max'])))
                 qs['scale'] = fr / qr
-            x = fq(s, qs['scale'], 0.0, bits, True)
+            x = fq(s, qs['scale'], 0.0, bits, True,
+                   snap_dtype=None if train else eval_snap_dtype)
         return x, qs
 
     def qconcat(lyr, qs, outs, train):
@@ -634,7 +646,9 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
             fl = jnp.stack(fmaxs)
             qs = {**qs, 'float_max': fl,
                   'scale': pow2_snap(jnp.max(fl)) / qr}
-        parts = [fq(t, qs['scale'], 0.0, bits, True) for t in parts]
+        parts = [fq(t, qs['scale'], 0.0, bits, True,
+                    snap_dtype=None if train else eval_snap_dtype)
+                 for t in parts]
         return jnp.concatenate(parts, axis=-1), qs
 
     def apply(params, state, qstate, x, train: bool = False):

@@ -194,7 +194,8 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
                w_bit: int = 8, shortcut_way: int = 1, steps: int = 0,
                is_gray_scale: bool = False, maxabsscaler: bool = False,
                compute_dtype=jnp.bfloat16, rng=None,
-               pt: bool = False, prefer_ema: bool = True) -> ModelBundle:
+               pt: bool = False, prefer_ema: bool = True,
+               eval_snap_dtype=None) -> ModelBundle:
     """Build + load a detector.
 
     ``quantized``: -1 float, 1 google QAT, 2 TPSQ, 3 cos-PTQ (models.py:34-90);
@@ -259,7 +260,8 @@ def load_model(cfg, weights=None, *, quantized: int = -1, a_bit: int = 8,
                 net, params, state, weights, pt=pt, quant=(quantized != -1))
 
     if qcfg is not None:
-        apply = make_quant_apply(net, qcfg, compute_dtype=compute_dtype)
+        apply = make_quant_apply(net, qcfg, compute_dtype=compute_dtype,
+                                 eval_snap_dtype=eval_snap_dtype)
     else:
         apply = make_apply(net, compute_dtype=compute_dtype,
                            maxabsscaler=maxabsscaler)

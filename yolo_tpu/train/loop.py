@@ -236,10 +236,16 @@ def run_training(opt: TrainOptions):
     quant_apply = None
     if opt.quantized != -1:
         from ..compress.quant import make_quant_apply
+        # eval_snap_dtype only touches train=False calls — i.e. the
+        # per-epoch eval twin the evaluator derives (make_heads_only):
+        # bf16 grid snaps buy 544->638 img/s @608/bs128 (PERFORMANCE.md
+        # quantized-eval); --qat-dtype f32 keeps the bit-parity sim
         quant_apply = make_quant_apply(
             net, bundle.qcfg,
             compute_dtype=(jnp.float32 if opt.qat_dtype == 'f32'
                            else jnp.bfloat16),
+            eval_snap_dtype=(None if opt.qat_dtype == 'f32'
+                             else jnp.bfloat16),
             head_layout=train_layout)
     use_adam = opt.adam or opt.quantized != -1
 
