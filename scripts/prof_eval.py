@@ -97,6 +97,17 @@ def main():
             qa = Q.make_quant_apply(net, c2, compute_dtype=jnp.bfloat16)
             return _build_infer(net, quant_apply=qa, sparse=True,
                                 **common), (params, state, qs)
+        if mode == 'quant_prepared':
+            # prepared eval params + bf16 snaps: the shipped eval pipeline
+            qa = Q.make_quant_apply(net, cfg, compute_dtype=jnp.bfloat16,
+                                    eval_snap_dtype=jnp.bfloat16)
+            with jax.default_device(cpu):
+                prep = Q.prepare_eval_params(net, cfg, jax.device_get(params),
+                                             jax.device_get(st),
+                                             jax.device_get(qs))
+            prep = jax.device_put(prep, dev)
+            return _build_infer(net, quant_apply=qa, sparse=True,
+                                **common), (prep, state, qs)
         if mode in ('quant_sparse_bf16', 'quant_sparse_bf16snap'):
             qa = Q.make_quant_apply(
                 net, cfg, compute_dtype=jnp.bfloat16,

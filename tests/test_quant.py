@@ -565,3 +565,24 @@ def test_eval_snap_dtype_bf16_close_to_f32(toy):
     b = np.asarray(p_b[0], np.float32).ravel()
     frac_diff = np.mean(np.abs(a - b) > 1e-6)
     assert frac_diff < 0.05, frac_diff
+
+
+def test_prepare_eval_params_bit_identical(toy):
+    """prepare_eval_params hoists the eval-constant BN fold + weight
+    quantization into the params tree; qconv's prepared branch must be
+    BIT-identical to the unprepared eval path (same math, just hoisted)."""
+    net, params, state = toy
+    cfg = Q.QuantConfig(scheme='google', a_bits=8, w_bits=8, steps=100)
+    qstate, _ = Q.init_quant_state(net, cfg)
+    apply = Q.make_quant_apply(net, cfg, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.3
+    st, qs = state, qstate
+    for _ in range(3):
+        _, st, qs = apply(params, st, qs, x, train=True)
+
+    io_a, p_a, _ = apply(params, st, qs, x, train=False)
+    prep = Q.prepare_eval_params(net, cfg, params, st, qs)
+    io_b, p_b, _ = apply(prep, st, qs, x, train=False)
+    np.testing.assert_array_equal(np.asarray(io_a), np.asarray(io_b))
+    for a, b in zip(p_a, p_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -391,6 +391,82 @@ def _bn_fold(p, st, qs, out_f, train: bool, cfg: QuantConfig, has_bias: bool):
     return inv, bias, new_st, new_qs
 
 
+def _fold_quant_weights(sch, cfg, QL, lyr, p, st, qs, *, train, warmup,
+                        bn_frozen, compute_dtype, x=None):
+    """BN fold + weight/bias quantization of one conv (the first half of the
+    reference BNFold_*QuantizedConv2d forward). Returns (qw, qb, st, qs);
+    tracker/stat updates happen only when ``train``. Shared by the jitted
+    qconv and by prepare_eval_params (which hoists this whole computation
+    out of the eval loop — it is constant given params/state/qstate)."""
+    if lyr.bn:
+        stat_fold = train and not bn_frozen
+        out_f = conv_ops.conv2d(x, p['w'],
+                                stride=lyr.stride_xy or lyr.stride,
+                                padding=lyr.pad, groups=lyr.groups,
+                                compute_dtype=compute_dtype) \
+            if stat_fold else None
+        inv, bias, st, qs = _bn_fold(p, st, qs, out_f, stat_fold, cfg,
+                                     has_bias=('b' in p))
+        w_fold = p['w'] * inv[None, None, None, :]
+    else:
+        w_fold = p['w']
+        bias = p.get('b', jnp.zeros(lyr.filters))
+    # quantize folded weight + bias
+    qs = dict(qs)
+    if sch == 'google':
+        qw, qs['wq'] = google_quantize(
+            w_fold, qs['wq'], bits=cfg.w_bits, train=train,
+            freeze_step=cfg.scale_freeze_step, track='global')
+        qb, qs['bq'] = google_quantize(
+            bias, qs['bq'], bits=cfg.w_bits, train=train,
+            freeze_step=cfg.scale_freeze_step, track='global')
+    elif sch == 'tpsq':
+        if warmup:   # record the cos-search winners (tpsq_warmup)
+            qs['w_scale'] = _tpsq_search_scale(w_fold, cfg.w_bits)
+            qs['b_scale'] = _tpsq_search_scale(bias, cfg.w_bits)
+        ws = qs['w_scale'] if warmup else p['w_scale']
+        bs_ = qs['b_scale'] if warmup else p['b_scale']
+        qw = tpsq_quantize(w_fold, ws, cfg.w_bits)
+        qb = tpsq_quantize(bias, bs_, cfg.w_bits)
+    elif sch == 'dorefa':
+        # BNFold_DorefaConv2d (quantized_dorefa.py:242-426): folded W
+        # and bias both go through the tanh weight quantizer
+        qw = QL.dorefa_weight(w_fold, cfg.w_bits)
+        qb = QL.dorefa_weight(bias, cfg.w_bits)
+    elif sch == 'wbin':
+        qw = QL.binary_weight(w_fold)   # BinaryConv2d sign(w)
+        qb = bias
+    elif sch == 'ternary':
+        qw = QL.ternary_weight(w_fold)  # Ternarize {-a, 0, +a}
+        qb = bias
+    else:
+        qw, qs['wq'] = cospt_quantize(w_fold, qs['wq'], bits=cfg.w_bits,
+                                      train=train)
+        qb, qs['bq'] = cospt_quantize(bias, qs['bq'], bits=cfg.w_bits,
+                                      train=train)
+    return qw, qb, st, qs
+
+
+def prepare_eval_params(net: NetworkIR, cfg: QuantConfig, params, state,
+                        qstate):
+    """Hoist the eval-constant per-conv work (BN fold from running stats +
+    weight/bias fake-quantization, all frozen in eval) into the params tree:
+    each quantized conv gains 'qw'/'qb' that qconv consumes directly.
+    Bit-identical to the unprepared eval path (parity-tested)."""
+    from . import quant_legacy as QL
+    out = {k: dict(v) for k, v in params.items()}
+    for lyr in net.layers:
+        if lyr.kind not in ('conv', 'depthwise'):
+            continue
+        k = str(lyr.index)
+        qw, qb, _, _ = _fold_quant_weights(
+            cfg.scheme, cfg, QL, lyr, params[k], state.get(k, {}),
+            qstate.get(k, {}), train=False, warmup=False, bn_frozen=True,
+            compute_dtype=None)
+        out[k]['qw'], out[k]['qb'] = qw, qb
+    return out
+
+
 def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
                      compute_dtype=None, warmup: bool = False,
                      capture_trace: bool = False,
@@ -461,53 +537,17 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
     from . import quant_legacy as QL
 
     def qconv(lyr, p, st, qs, x, train):
-        has_bias = not lyr.bn
         stride = lyr.stride_xy or lyr.stride
-        if lyr.bn:
-            stat_fold = train and not bn_frozen
-            out_f = conv_ops.conv2d(x, p['w'], stride=stride, padding=lyr.pad,
-                                    groups=lyr.groups,
-                                    compute_dtype=compute_dtype) \
-                if stat_fold else None
-            inv, bias, st, qs = _bn_fold(p, st, qs, out_f, stat_fold, cfg,
-                                         has_bias=('b' in p))
-            w_fold = p['w'] * inv[None, None, None, :]
+        if not train and 'qw' in p:
+            # prepared eval params (prepare_eval_params): the BN fold and
+            # weight/bias quantize below are eval-constants, hoisted out of
+            # the per-batch graph — bit-identical, ~14 ms/batch on yolov3
+            # @608/bs128 (PERFORMANCE.md quantized-eval)
+            qw, qb = p['qw'], p['qb']
         else:
-            w_fold = p['w']
-            bias = p.get('b', jnp.zeros(lyr.filters))
-            st = st
-        # quantize folded weight + bias
-        if sch == 'google':
-            qw, qs['wq'] = google_quantize(
-                w_fold, qs['wq'], bits=cfg.w_bits, train=train,
-                freeze_step=cfg.scale_freeze_step, track='global')
-            qb, qs['bq'] = google_quantize(
-                bias, qs['bq'], bits=cfg.w_bits, train=train,
-                freeze_step=cfg.scale_freeze_step, track='global')
-        elif sch == 'tpsq':
-            if warmup:   # record the cos-search winners (tpsq_warmup)
-                qs['w_scale'] = _tpsq_search_scale(w_fold, cfg.w_bits)
-                qs['b_scale'] = _tpsq_search_scale(bias, cfg.w_bits)
-            ws = qs['w_scale'] if warmup else p['w_scale']
-            bs_ = qs['b_scale'] if warmup else p['b_scale']
-            qw = tpsq_quantize(w_fold, ws, cfg.w_bits)
-            qb = tpsq_quantize(bias, bs_, cfg.w_bits)
-        elif sch == 'dorefa':
-            # BNFold_DorefaConv2d (quantized_dorefa.py:242-426): folded W
-            # and bias both go through the tanh weight quantizer
-            qw = QL.dorefa_weight(w_fold, cfg.w_bits)
-            qb = QL.dorefa_weight(bias, cfg.w_bits)
-        elif sch == 'wbin':
-            qw = QL.binary_weight(w_fold)   # BinaryConv2d sign(w)
-            qb = bias
-        elif sch == 'ternary':
-            qw = QL.ternary_weight(w_fold)  # Ternarize {-a, 0, +a}
-            qb = bias
-        else:
-            qw, qs['wq'] = cospt_quantize(w_fold, qs['wq'], bits=cfg.w_bits,
-                                          train=train)
-            qb, qs['bq'] = cospt_quantize(bias, qs['bq'], bits=cfg.w_bits,
-                                          train=train)
+            qw, qb, st, qs = _fold_quant_weights(
+                sch, cfg, QL, lyr, p, st, qs, train=train, warmup=warmup,
+                bn_frozen=bn_frozen, compute_dtype=compute_dtype, x=x)
         out = conv_ops.conv2d(x, qw, stride=stride, padding=lyr.pad,
                               groups=lyr.groups, compute_dtype=compute_dtype)
         # non-promoting bias add: qb sits on an 8-bit grid (bf16-exact)
@@ -774,6 +814,7 @@ def make_quant_apply(net: NetworkIR, cfg: QuantConfig,
         return jnp.concatenate(ios, axis=1), yolo_p, feats
 
     apply.head_layout = head_layout
+    apply.qcfg = cfg          # lets the evaluator run prepare_eval_params
     if not heads_only:
         apply.make_heads_only = lambda: make_quant_apply(
             net, cfg, compute_dtype=compute_dtype, heads_only=True,

@@ -229,6 +229,15 @@ def evaluate(net, params, state, data, *, batch_size=16, img_size=416,
         # externally-built quant applies without a sparse twin
         sparse = False
 
+    if quant_apply is not None and qstate is not None and not augment \
+            and getattr(quant_apply, 'qcfg', None) is not None:
+        # hoist the eval-constant BN fold + weight/bias quantization out of
+        # the per-batch graph (bit-identical; qconv reads the prepared
+        # 'qw'/'qb' — PERFORMANCE.md quantized-eval)
+        from ..compress.quant import prepare_eval_params
+        params = prepare_eval_params(net, quant_apply.qcfg, params, state,
+                                     qstate)
+
     # The jitted infer is cached across evaluate() calls: re-tracing +
     # lowering the full graph is ~10 s of single-core Python per call (the
     # persistent XLA cache only skips the compile), and per-epoch eval in
