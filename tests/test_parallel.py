@@ -180,3 +180,40 @@ def test_cli_qat_train_dp_matches_single_device(tmp_path, monkeypatch):
     dp = run('qat_dp', [])
     assert np.isfinite(dp).all()
     np.testing.assert_allclose(dp, single, rtol=2e-2, atol=2e-3)
+
+
+def test_spatial_partitioned_infer(repo_root):
+    """Spatial partitioning (SP, beyond the reference's DDP-only scaling):
+    batch-1 inference with the image HEIGHT sharded over the data axis runs
+    the FULL make_infer pipeline (forward + sparse/dense NMS) and returns
+    the same detections as single-device — GSPMD inserts the conv halo
+    exchanges, and the boundary ops (maxpool, upsample, route concats)
+    stay exact."""
+    import os
+    from yolo_tpu.parallel import make_mesh, shard_spatial, replicate
+    from yolo_tpu.runtime import ModelBundle, load_model
+
+    bundle = load_model(os.path.join(repo_root,
+                                     'cfg/yolov3tiny/yolov3-tiny.cfg'),
+                        compute_dtype=jnp.float32)
+    infer = bundle.make_infer(conf_thres=0.01, top_k=128, max_det=32,
+                              sparse=False)
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+
+    ref = np.asarray(infer(jnp.asarray(x)))
+
+    mesh = make_mesh(model_parallel=1)          # data axis = all 8 devices
+    bundle.params = replicate(mesh, bundle.params)
+    bundle.state = replicate(mesh, bundle.state)
+    xs = shard_spatial(mesh, jnp.asarray(x))
+    sp = np.asarray(infer(xs))
+
+    np.testing.assert_allclose(sp, ref, rtol=1e-4, atol=1e-4)
+
+    # the sparse-decode NMS path (the TPU serving default) under SP: the
+    # objectness top-k and survivor gathers cross shard boundaries
+    infer_sp = bundle.make_infer(conf_thres=0.01, top_k=128, max_det=32,
+                                 sparse=True)
+    ref_s = np.asarray(infer_sp(jnp.asarray(x)))
+    sp_s = np.asarray(infer_sp(xs))
+    np.testing.assert_allclose(sp_s, ref_s, rtol=1e-4, atol=1e-4)

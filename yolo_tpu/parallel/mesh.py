@@ -53,6 +53,28 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Image-HEIGHT sharding over the data axis — spatial partitioning.
+
+    Beyond the reference (whose only scale-out is DDP batch splitting):
+    for low-batch serving, splitting the batch cannot use more chips than
+    images, but sharding H lets every chip work on slices of the SAME
+    image — GSPMD inserts the conv halo exchanges (and boundary
+    collectives for maxpool/upsample/space-to-depth) over ICI
+    automatically. Output equals single-device inference to f32 reduction
+    noise (tests/test_parallel.py::test_spatial_partitioned_infer).
+    H must divide by the data-axis size x the deepest stride.
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_spatial(mesh: Mesh, *arrays):
+    """Device-put NHWC image batches with H sharded over the data axis."""
+    sh = spatial_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 # ---------------------------------------------------------------------------
 # tensor parallelism: conv output channels sharded over the model axis
 # ---------------------------------------------------------------------------
