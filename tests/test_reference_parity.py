@@ -1184,7 +1184,8 @@ def test_end_to_end_eval_parity(ref, tmp_path, monkeypatch, capsys):
                                atol=5e-3, err_msg='per-class AP')
 
 
-def test_training_trajectory_parity(ref, tmp_path):
+@pytest.mark.parametrize('use_adam', [False, True], ids=['sgd', 'adam'])
+def test_training_trajectory_parity(ref, tmp_path, use_adam):
     """N-step differential parity of the FULL update rule vs torch.
 
     The last untested seam (VERDICT r4 weak #2): loss items and end-to-end
@@ -1202,6 +1203,8 @@ def test_training_trajectory_parity(ref, tmp_path):
       - optimizer steps when ni % accumulate == 0, then EMA exp-ramp
         update (train.py:450-459; utils/torch_utils.py:141-189)
       - loss *= batch_size/64 (train.py:437)
+      - [adam] torch Adam at lr0*0.005 (train.py:136-137, the --adam /
+        quantized selection) with the same groups/wd placement
 
     vs this repo's ACTUAL run_training loop (float_dtype='f32'). Raw
     params, BN running stats, EMA params and EMA BN stats are compared
@@ -1265,8 +1268,11 @@ def test_training_trajectory_parity(ref, tmp_path):
             pg1.append(v)
         else:
             pg0.append(v)
-    optimizer = optim.SGD(pg0, lr=hyp['lr0'], momentum=hyp['momentum'],
-                          nesterov=True)
+    if use_adam:                               # train.py:136-137
+        optimizer = optim.Adam(pg0, lr=hyp['lr0'] * 0.005)
+    else:
+        optimizer = optim.SGD(pg0, lr=hyp['lr0'], momentum=hyp['momentum'],
+                              nesterov=True)
     optimizer.add_param_group({'params': pg1,
                                'weight_decay': hyp['weight_decay']})
     optimizer.add_param_group({'params': pg2})
@@ -1278,7 +1284,9 @@ def test_training_trajectory_parity(ref, tmp_path):
     ema = ref_tu.ModelEMA(tm)
     accumulate = max(round(64 / bs), 1)
     snaps = {}
-    step_marks = {2: 1, 8: 4, 16: 8}           # steps -> epochs checkpoints
+    # Adam: one 16-step checkpoint keeps the runtime bounded; SGD keeps the
+    # early/edge snapshots
+    step_marks = {16: 8} if use_adam else {2: 1, 8: 4, 16: 8}
     for epoch in range(epochs_max):
         for i in range(nb):
             ni = i + nb * epoch
@@ -1340,7 +1348,7 @@ def test_training_trajectory_parity(ref, tmp_path):
         wdir = tmp_path / f'w{steps}'
         opt = TrainOptions(
             cfg=str(cfg), data=str(data), weights=str(w0),
-            epochs=step_marks[steps], batch_size=bs,
+            epochs=step_marks[steps], batch_size=bs, adam=use_adam,
             img_size=(size, size, size), notest=True,
             n_burn_override=n_burn, ema=True, augment=False,
             hyp_path=str(hyp_txt), float_dtype='f32',
