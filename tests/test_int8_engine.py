@@ -389,3 +389,80 @@ def test_engine_tpsq_mixed_backend(tmp_path):
     io_mix, _ = jax.jit(make_int8_apply(net, plan, backend='mixed',
                                         bf16_min_hw=8))(plan.arrays, x)
     _assert_close(np.asarray(io_mix), np.asarray(io_xla))
+
+
+REORG_CFG = """
+[net]
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[route]
+layers=-2
+
+[reorg3d]
+stride=2
+
+[route]
+layers=1,-1
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=18
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23
+classes=1
+num=3
+"""
+
+
+def test_engine_reorg3d(tmp_path):
+    """reorg3d (real space-to-depth, no-op upstream) through the QAT sim
+    AND the int8 engine: a PAN-style concat of a reorg'd early feature
+    with a deeper map — the int8 path applies space_to_depth directly on
+    the int8 tensor (pure layout, scale unchanged)."""
+    p = tmp_path / 'reorg.cfg'
+    p.write_text(REORG_CFG)
+    net = build_ir(str(p))
+    rg = [l for l in net.layers if l.kind == 'reorg3d']
+    assert [(l.in_channels, l.filters) for l in rg] == [(8, 32)]
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    cfg, apply_q, qs, x = _calibrated(net, params, state)
+    io_sim, _, _ = apply_q(params, state, qs, x, train=False)
+    assert np.isfinite(np.asarray(io_sim)).all()
+    plan = prepare_int8(net, params, state, qs, cfg)
+    apply_i8 = jax.jit(make_int8_apply(net, plan))
+    io_eng, _ = apply_i8(plan.arrays, x)
+    sim, eng = np.asarray(io_sim), np.asarray(io_eng)
+    assert np.isfinite(eng).all()
+    _assert_close(eng, sim)
