@@ -768,3 +768,19 @@ def test_reference_flag_spellings_parse():
     o = p.parse_args('--cfg c --data d --weights w --shortcut 6 '
                      '--img_size 608 --batch_size 4'.split())
     assert o.shortcuts == 6 and o.img_size == 608 and o.batch_size == 4
+
+
+def test_flexparser_abbreviations_still_work():
+    """Dual spellings must not break argparse prefix abbreviation: --img
+    resolves (both spellings map to ONE action), while a genuinely
+    ambiguous prefix still errors."""
+    import pytest as _pytest
+    from yolo_tpu.utils.cli import FlexParser
+    p = FlexParser()
+    p.add_argument('--img-size', type=int, default=416)
+    p.add_argument('--conf-thres', type=float, default=0.3)
+    p.add_argument('--cache-images', action='store_true')
+    o = p.parse_args(['--img', '320', '--conf', '0.1'])
+    assert o.img_size == 320 and o.conf_thres == 0.1
+    with _pytest.raises(SystemExit):
+        p.parse_args(['--c', '1'])      # --conf-thres vs --cache-images

@@ -28,3 +28,15 @@ class FlexParser(argparse.ArgumentParser):
             elif a not in opts:
                 opts.append(a)
         return super().add_argument(*opts, **kwargs)
+
+    def _get_option_tuples(self, option_string):
+        # prefix abbreviations (--img for --img-size) must not become
+        # "ambiguous" just because both spellings of ONE action match —
+        # collapse matches that resolve to the same action
+        tuples = super()._get_option_tuples(option_string)
+        seen, out = set(), []
+        for t in tuples:
+            if id(t[0]) not in seen:
+                seen.add(id(t[0]))
+                out.append(t)
+        return out
