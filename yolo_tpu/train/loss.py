@@ -176,20 +176,26 @@ def compute_loss(p: Sequence[jnp.ndarray], targets, valid, anchor_vecs,
         # obj targets: giou-ratio at assigned cells (utils/utils.py:398).
         # Two targets can share a (b, a, cell): torch fancy-index assignment
         # is last-write-wins in the anchor-major pair order, while XLA's
-        # duplicate-index scatter-set order is undefined — so scatter-max
-        # the pair index first and gather the winner's value (trajectory-
-        # parity-tested vs torch).
+        # duplicate-index scatter-set order is undefined. On the f32 parity
+        # path the winner is made torch-exact (scatter-max the pair index,
+        # gather its value — trajectory-parity-tested); on the bf16 TPU
+        # path the plain scatter stays (the winner-value gather costs a
+        # measured 29 ms/step @608/bs128, and among duplicates every
+        # candidate is a genuine giou of a box assigned to that cell — the
+        # reference's own pick is just file-order-arbitrary).
         tobj_val = (1.0 - gr) + gr * jnp.clip(jax.lax.stop_gradient(giou), 0)
         # drop invalid writes by pushing their batch index out of range
         b_w = jnp.where(mask, b, bs)
-        pair_idx = jnp.arange(b_w.shape[0], dtype=jnp.int32)
-        if nhwc:
-            win = jnp.full((bs, ny, nx, na), -1, jnp.int32)
-            win = win.at[b_w, gj, gi, a].max(pair_idx, mode='drop')
+        shape = (bs, ny, nx, na) if nhwc else (bs, na, ny, nx)
+        idx = (b_w, gj, gi, a) if nhwc else (b_w, a, gj, gi)
+        if pi.dtype == jnp.float32:
+            pair_idx = jnp.arange(b_w.shape[0], dtype=jnp.int32)
+            win = jnp.full(shape, -1, jnp.int32)
+            win = win.at[idx].max(pair_idx, mode='drop')
+            tobj = jnp.where(win >= 0, tobj_val[jnp.clip(win, 0)], 0.0)
         else:
-            win = jnp.full((bs, na, ny, nx), -1, jnp.int32)
-            win = win.at[b_w, a, gj, gi].max(pair_idx, mode='drop')
-        tobj = jnp.where(win >= 0, tobj_val[jnp.clip(win, 0)], 0.0)
+            tobj = jnp.zeros(shape, jnp.float32)
+            tobj = tobj.at[idx].set(tobj_val, mode='drop')
 
         obj_logit = pi[..., 4].astype(jnp.float32)
         obj_bce = bce_with_logits(obj_logit, tobj, hyp.obj_pw)
