@@ -27,6 +27,10 @@ def main():
     p.add_argument('--size', type=int, default=608)
     p.add_argument('--iters', type=int, default=10)
     p.add_argument('--cfg', default='cfg/yolov3/yolov3.cfg')
+    p.add_argument('--trace', action='store_true',
+                   help='jax.profiler trace of the LAST mode + hlo_stats')
+    p.add_argument('--trace-dir', default='/tmp/jtrace_eval')
+    p.add_argument('--top', type=int, default=30)
     p.add_argument('--modes', nargs='+',
                    default=['float_sparse', 'quant_dense', 'quant_sparse',
                             'int8_engine'],
@@ -155,6 +159,15 @@ def main():
         dt = (time.perf_counter() - t0) / opt.iters
         print(f'eval [{mode}] bs={bs} size={opt.size}: {dt * 1e3:.1f} '
               f'ms/batch, {bs / dt:.0f} img/s', flush=True)
+        if opt.trace and mode == opt.modes[-1]:
+            os.system(f'rm -rf {opt.trace_dir}')
+            jax.profiler.start_trace(opt.trace_dir)
+            for _ in range(2):
+                out = infer(p_, s_, q_, x, tgt, valid, img_w)
+            np.asarray(out[0])
+            jax.profiler.stop_trace()
+            from prof_int8 import dump_hlo_stats
+            dump_hlo_stats(opt.trace_dir, opt.top)
 
 
 if __name__ == '__main__':
