@@ -784,3 +784,36 @@ def test_flexparser_abbreviations_still_work():
     assert o.img_size == 320 and o.conf_thres == 0.1
     with _pytest.raises(SystemExit):
         p.parse_args(['--c', '1'])      # --conf-thres vs --cache-images
+
+
+def test_test_cli_qat_eval_snap(workspace, tmp_path, monkeypatch):
+    """test.py --qat-eval-snap bf16 (the fast fake-quant eval) returns the
+    same P/R/mAP/F1 as the f32 parity sim on a calibrated checkpoint."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    from yolo_tpu.ir import build_ir
+    from yolo_tpu.models.network import init_params
+    from yolo_tpu.utils.checkpoint import save_checkpoint
+    net = build_ir(str(workspace / 'toy.cfg'))
+    params, state = init_params(jax.random.PRNGKey(0), net)
+    save_checkpoint('m.npz', params=params, state=state)
+
+    import PTQ as ptq_cli
+    ptq_cli.main(['--cfg', str(workspace / 'toy.cfg'),
+                  '--data', str(workspace / 'obj.data'),
+                  '--weights', 'm.npz', '--img-size', '64',
+                  '--batch-size', '2', '--subset-len', '4', '--no-eval',
+                  '--out', 'weights/PTQ.npz'])
+
+    import test as test_cli
+    res = {}
+    for snap in ('f32', 'bf16'):
+        res[snap] = test_cli.main([
+            '--cfg', str(workspace / 'toy.cfg'),
+            '--data', str(workspace / 'obj.data'),
+            '--weights', 'weights/PTQ.npz', '--quantized', '3',
+            '--img-size', '64', '--batch-size', '2',
+            '--qat-eval-snap', snap, '--no-plot'])
+    a, b = np.array(res['f32'][:4]), np.array(res['bf16'][:4])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=0.05)
